@@ -1,0 +1,114 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference's published configuration
+(reference ``config.yml`` / ``config.optimized.yml``; thresholds at
+``config.yml:96-99,160-162``; classifier hyper-params at
+``config.yml:143-155``) but are plain dataclass fields here — the new
+engine is config-driven the same way, just without YAML ceremony.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The five embedded record fields, in canonical order
+# (reference config.yml:37).
+EMBED_FIELDS: tuple[str, ...] = (
+    "composite",
+    "person",
+    "title",
+    "provision",
+    "subjects",
+)
+
+# The 14-feature contract, in reference order
+# (reference output/summary_report.json:34-50).
+FEATURE_NAMES: tuple[str, ...] = (
+    "composite_cosine",
+    "person_cosine",
+    "title_cosine",
+    "provision_cosine",
+    "subjects_cosine",
+    "person_levenshtein",
+    "person_title_harmonic",
+    "person_provision_harmonic",
+    "person_subjects_harmonic",
+    "title_subjects_harmonic",
+    "title_provision_harmonic",
+    "provision_subjects_harmonic",
+    "person_subjects_product",
+    "composite_subjects_ratio",
+)
+
+# Golden model parameters published by the reference
+# (reference output/detailed/model_parameters.json). Used by tests and
+# as the default scoring weights when no model has been trained.
+GOLDEN_WEIGHTS: dict[str, float] = {
+    "composite_cosine": 0.20288099328543954,
+    "person_cosine": 0.6100086739673565,
+    "title_cosine": 0.029226683922015155,
+    "provision_cosine": 0.0007583579956876954,
+    "subjects_cosine": 0.1519413216913845,
+    "person_levenshtein": 0.4928317100978894,
+    "person_title_harmonic": 0.19652928908904116,
+    "person_provision_harmonic": 0.24140908356501148,
+    "person_subjects_harmonic": 0.27574385618078473,
+    "title_subjects_harmonic": 0.12387059427881868,
+    "title_provision_harmonic": 0.05479368156514985,
+    "provision_subjects_harmonic": 0.10596624810758645,
+    "person_subjects_product": 0.39459327207464673,
+    "composite_subjects_ratio": -0.008143578664694853,
+}
+GOLDEN_BIAS: float = -0.7791475382513592
+GOLDEN_THRESHOLD: float = 0.75
+
+
+@dataclass
+class PipelineConfig:
+    """Knobs for the end-to-end ER pipeline."""
+
+    seed: int = 42  # reference config.yml:9
+
+    # preprocessing
+    embedding_dim: int = 64  # 1536 in the reference; dim is config (config.yml:46)
+    min_string_frequency: int = 1  # reference config.yml:70 (P4)
+
+    # blocking
+    minhash_num_hashes: int = 24
+    minhash_bands: int = 8  # rows per band = num_hashes // bands
+    shingle_size: int = 3
+    sorted_neighborhood_window: int = 3
+    max_block_size: int = 2000  # reference max candidates per query (config.yml:97)
+
+    # scoring / classification
+    match_threshold: float = 0.75  # reference config.optimized.yml:179
+    composite_cosine_autoaccept: float = 0.65  # C4 (classification.py:543-564)
+    autoaccept_confidence: float = 0.90
+    year_match_confidence: float = 0.95  # C5
+    year_accept_min_person_sim: float = 0.5  # name floor gating C5
+    person_cosine_autoreject: float = 0.70  # C6
+    autoreject_confidence: float = 0.25
+    # corroboration rule for low-information names (engine addition):
+    # initials-form names need a second field to agree before matching
+    require_corroboration_low_info: bool = True
+    corroboration_title_jaccard: float = 0.3
+    corroboration_subjects_jaccard: float = 0.8
+    low_info_confidence_cap: float = 0.5
+
+    # training (C1; reference config.yml:143-155)
+    learning_rate: float = 0.01
+    max_iterations: int = 1000
+    l2_lambda: float = 0.01
+    early_stop_patience: int = 5
+
+    # clustering (G5; reference config.yml:160-162)
+    edge_threshold: float = 0.75
+    min_cluster_size: int = 2
+    max_cluster_size: int = 100
+
+    # execution
+    checkpoint_dir: str = "/tmp/erp_spark_work"
+    checkpoint_interval: int = 5  # CC lineage checkpoint cadence
+
+    fields: tuple[str, ...] = field(default_factory=lambda: EMBED_FIELDS)

@@ -1,0 +1,181 @@
+"""Pair-similarity functions.
+
+Everything that CAN be a native Column expression IS one (whole-stage
+codegen, no Python in the hot path). Only embedding cosine and
+Jaro-Winkler drop to Arrow-batched pandas UDFs.
+
+Semantics are pinned to the reference:
+  - levenshtein_sim:   1 - lev(s1,s2)/max(len); empty/null -> 0.0,
+                       both empty -> 1.0   (reference src/utils.py:212-229)
+  - harmonic_mean:     2ab/(a+b), 0.0 if either <= 0
+                       (reference src/features.py:371-376 — the canonical
+                       variant; the smoothed one in parallel_features.py is
+                       intentionally NOT used)
+  - product/ratio:     src/features.py:226-238
+  - cosine:            dot/(|a||b|); 0.0 on null or zero norm
+                       (reference src/utils.py:146-177)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def levenshtein_sim(left: ColumnOrName, right: ColumnOrName) -> Column:
+    """Normalized Levenshtein similarity as a pure column expression."""
+    l, r = _c(left), _c(right)
+    max_len = F.greatest(F.length(l), F.length(r))
+    sim = 1.0 - F.levenshtein(l, r) / max_len
+    return (
+        F.when(l.isNull() | r.isNull(), F.lit(0.0))
+        .when((F.length(l) == 0) & (F.length(r) == 0), F.lit(1.0))
+        .when((F.length(l) == 0) | (F.length(r) == 0), F.lit(0.0))
+        .otherwise(sim)
+    )
+
+
+def harmonic_mean(a: ColumnOrName, b: ColumnOrName) -> Column:
+    a, b = _c(a), _c(b)
+    return F.when((a > 0) & (b > 0), 2.0 * a * b / (a + b)).otherwise(F.lit(0.0))
+
+
+def product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return _c(a) * _c(b)
+
+
+def safe_ratio(num: ColumnOrName, denom: ColumnOrName) -> Column:
+    num, denom = _c(num), _c(denom)
+    return F.when(denom > 0, num / denom).otherwise(F.lit(0.0))
+
+
+def sigmoid(z: ColumnOrName) -> Column:
+    """1/(1+e^-z). Spark's exp saturates gracefully; no clip needed."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_c(z)))
+
+
+def token_jaccard(a_tokens: ColumnOrName, b_tokens: ColumnOrName) -> Column:
+    """Token-set Jaccard similarity over two array<string> columns."""
+    a, b = _c(a_tokens), _c(b_tokens)
+    a_set, b_set = F.array_distinct(a), F.array_distinct(b)
+    union_size = F.size(F.array_union(a_set, b_set))
+    inter_size = F.size(F.array_intersect(a_set, b_set))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .when(union_size == 0, F.lit(0.0))
+        .otherwise(inter_size.cast("double") / union_size)
+    )
+
+
+def cosine_expr(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity over two array<float/double> columns, fully
+    JVM-side via higher-order functions (zip_with + aggregate)."""
+    a, b = _c(a), _c(b)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    norm_b = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .when((norm_a == 0) | (norm_b == 0), F.lit(0.0))
+        .otherwise(dot / (norm_a * norm_b))
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched embedding cosine (the reference's F1 hot path,
+    src/utils.py:146-177). Stacks each Arrow batch into a 2-D numpy
+    matrix — one BLAS pass per batch, zero per-row Python."""
+    out = np.zeros(len(a), dtype=np.float64)
+    mask = a.notna() & b.notna()
+    if mask.any():
+        av = np.stack(a[mask].to_numpy())
+        bv = np.stack(b[mask].to_numpy())
+        dots = np.einsum("ij,ij->i", av, bv)
+        na = np.linalg.norm(av, axis=1)
+        nb = np.linalg.norm(bv, axis=1)
+        denom = na * nb
+        ok = denom > 0
+        vals = np.zeros(len(av))
+        vals[ok] = dots[ok] / denom[ok]
+        out[mask.to_numpy()] = vals
+    return pd.Series(out)
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    m = matches
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a == b and prefix < max_prefix:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1.0 - j)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler similarity (north_rule extra; not in the reference).
+    rapidfuzz's C implementation when available, pure-python fallback —
+    either way Arrow-batched, never row-at-a-time serde."""
+    try:
+        from rapidfuzz.distance import JaroWinkler
+
+        def jw(x, y):
+            return JaroWinkler.similarity(x, y)
+    except ImportError:
+        jw = _jaro_winkler
+
+    def row(x, y):
+        if x is None or y is None:
+            return 0.0
+        return float(jw(x, y))
+
+    return pd.Series([row(x, y) for x, y in zip(a, b)], dtype="float64")

@@ -1,0 +1,127 @@
+"""Transitive clustering: connected components on the match-edge graph.
+
+The reference materializes a networkx graph on one machine
+(reference src/clustering.py:45-105). That dies at web scale, so the
+engine implements the iterative **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) purely as DataFrame ops: each round is two groupBy/join
+shuffles, converging in O(log n) rounds; lineage is cut with
+localCheckpoint every `checkpoint_interval` rounds.
+
+Labels come out as (record_id, cluster_id=min record in component),
+then size filtering + dense relabeling (G5, src/clustering.py:163-195).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bidirect(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    return fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(nbrs: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least(F.col("mn"), F.col("u"))).select("u", "m")
+    return (
+        nbrs.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient u > v; for each u: m = min(N(u) ∪ {u}); emit (v, m) for
+    v in N(u) ∪ {u}, v != m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    pairs = (
+        oriented.join(mins, on="u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pairs
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """edges(src, dst) -> labels(record_id, cluster_id).
+
+    Alternates large-star / small-star until the edge set fixpoints
+    (count + order-insensitive xxhash64 fingerprint). Isolated nodes
+    never appear in `edges`, so callers union them back if needed.
+    """
+    spark = edges.sparkSession
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = _fingerprint(cur)
+    for _ in range(max_iterations):
+        # eager localCheckpoint each round: the edge set shrinks toward
+        # stars, materializing it truncates the exponentially-growing
+        # lineage and makes the fingerprint action free of recompute
+        cur = _small_star(_large_star(_bidirect(cur))).localCheckpoint()
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # fixpoint: every edge is (node -> component-min root)
+    labels = cur.select(F.col("src").alias("record_id"), F.col("dst").alias("cluster_id"))
+    roots = cur.select(F.col("dst").alias("record_id")).distinct().withColumn(
+        "cluster_id", F.col("record_id")
+    )
+    return labels.unionByName(roots).groupBy("record_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def filter_and_relabel(
+    labels: DataFrame,
+    min_cluster_size: int = 2,
+    max_cluster_size: int = 100,
+) -> DataFrame:
+    """G5: drop clusters under min size, keep-but-flag those over max,
+    densely renumber by first-seen (min record) order."""
+    sizes = labels.groupBy("cluster_id").count()
+    kept = sizes.filter(F.col("count") >= min_cluster_size)
+    w = Window.orderBy("cluster_id")
+    renum = kept.select(
+        "cluster_id",
+        (F.row_number().over(w) - 1).alias("dense_cluster_id"),
+        (F.col("count") > max_cluster_size).alias("oversized"),
+    )
+    return (
+        labels.join(renum, on="cluster_id")
+        .select(
+            "record_id",
+            F.col("dense_cluster_id").alias("cluster_id"),
+            "oversized",
+        )
+    )

@@ -1,0 +1,189 @@
+"""Document deduplication suite for web-scale training-data pipelines.
+
+Five dedup families over a documents(doc_id, text, ...) table:
+
+  exact          — md5 hash-groupBy (one shuffle, keep min id)
+  minhash_lsh    — shingle -> MinHash -> band keys -> bucket join,
+                   verified by true Jaccard on candidates
+  simhash        — 64-bit SimHash, banded Hamming blocking
+  ngram_jaccard  — direct n-gram Jaccard over candidate pairs
+  embedding      — cosine near-dup over an embedding column
+
+Everything shuffles on compact keys (hashes / band keys), never on the
+document text itself, and the expensive verification similarity only
+runs on LSH-candidate pairs — the usual 100-TB-safe shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.similarity import cosine_expr, token_jaccard
+from ..functions.sketches import (
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash_band_keys,
+    simhash_udf,
+)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, canonical_id, dup_count) for every distinct text;
+    dup groups = rows with dup_count > 1."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (min id wins) — the standard
+    exact-dedup pass before anything fuzzy."""
+    w_hash = docs.withColumn("_h", F.md5(F.col(text_col)))
+    keep = w_hash.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return w_hash.join(keep, on=["_h", id_col], how="left_semi").drop("_h")
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_block: int = 5000,
+) -> DataFrame:
+    """LSH candidate pairs (id1 < id2) from banded MinHash over
+    character shingles. Pure column-expression sketching."""
+    sig = minhash_signature(TX.char_shingles(F.col(text_col), shingle_size), num_hashes)
+    keys = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(lsh_band_keys(sig, num_hashes, bands)).alias("block_key"),
+    )
+    hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
+    keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, on="block_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs with true shingle-Jaccard verification on the
+    LSH candidates only: (id1, id2, jaccard >= threshold)."""
+    cands = minhash_candidates(docs, id_col, text_col, shingle_size, num_hashes, bands)
+    sh = docs.select(
+        F.col(id_col),
+        TX.char_shingles(F.col(text_col), shingle_size).alias("sh"),
+    )
+    l = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    r = sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cands.join(l, on="id1")
+        .join(r, on="id2")
+        .withColumn("jaccard", token_jaccard("sh1", "sh2"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded bit-slice blocking (pigeonhole
+    guarantees recall for distance < bands), Hamming verify."""
+    sims = docs.select(
+        F.col(id_col).alias("doc"),
+        simhash_udf(TX.tokens(F.col(text_col))).alias("sim"),
+    )
+    keyed = sims.select(
+        "doc", "sim", F.explode(simhash_band_keys("sim", bands)).alias("block_key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, on="block_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id1"),
+            F.col("b.doc").alias("id2"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Word n-gram Jaccard for given candidate pairs (id1, id2)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(TX.tokens(F.col(text_col))) - n, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(TX.tokens(F.col(text_col)), i + 1, n)),
+            )
+        ).alias("grams"),
+    )
+    l = grams.select(F.col(id_col).alias("id1"), F.col("grams").alias("g1"))
+    r = grams.select(F.col(id_col).alias("id2"), F.col("grams").alias("g2"))
+    return (
+        candidate_pairs.join(l, on="id1")
+        .join(r, on="id2")
+        .select("id1", "id2", token_jaccard("g1", "g2").alias("ngram_jaccard"))
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With a group/bucket column the
+    join is per-bucket (LSH-style); without it this is the O(n²)
+    verification baseline — only for modest n or post-LSH candidates."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if group_col:
+        cols.append(F.col(group_col).alias("g"))
+    base = embeddings.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    joined = a.join(b, on="g") if group_col else a.crossJoin(b)
+    return (
+        joined.filter(cond)
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

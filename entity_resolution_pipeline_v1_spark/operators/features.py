@@ -1,0 +1,131 @@
+"""The 14-feature pair contract (reference §2.9).
+
+Feature order and semantics pinned to the reference
+(output/summary_report.json:34-50, constructed src/features.py:92-136):
+five embedding cosines, person Levenshtein, six harmonic-mean
+interactions, one product, one ratio. Missing vector => 0.0
+(src/features.py:158-159). Cosines are the only pandas-UDF work;
+everything else is whole-stage-codegen column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EMBED_FIELDS, FEATURE_NAMES
+from ..functions import similarity as S
+from ..functions import text as TX
+from ..functions import years as Y
+
+# North-rule extras beyond the reference's 14 (SURVEY.md §2.8 F11):
+# Jaro-Winkler + token-set Jaccard on names, title Jaccard, and the
+# birth/death-year agreement signal as a feature.
+EXTRA_FEATURE_NAMES: tuple[str, ...] = (
+    "person_jaro_winkler",
+    "person_jaccard",
+    "title_jaccard",
+    "subjects_jaccard",
+    "year_match",
+    "low_info_name",
+)
+ALL_FEATURE_NAMES: tuple[str, ...] = FEATURE_NAMES + EXTRA_FEATURE_NAMES
+
+
+def hydrate_pairs(pairs: DataFrame, wide: DataFrame) -> DataFrame:
+    """pairs(id1,id2) ⋈ records_wide twice -> one row per pair with
+    l_*/r_* field strings and vectors. Two shuffle joins on record_id;
+    at scale pre-bucket records_wide by record_id to make them co-located.
+    """
+    lcols = [F.col("record_id").alias("id1")] + [
+        F.col(c).alias(f"l_{c}") for c in wide.columns if c != "record_id"
+    ]
+    rcols = [F.col("record_id").alias("id2")] + [
+        F.col(c).alias(f"r_{c}") for c in wide.columns if c != "record_id"
+    ]
+    return pairs.join(wide.select(*lcols), on="id1").join(wide.select(*rcols), on="id2")
+
+
+def with_features(hydrated: DataFrame, use_expr_cosine: bool = False) -> DataFrame:
+    """Append the 14 feature columns in reference order."""
+    cos = S.cosine_expr if use_expr_cosine else S.cosine_udf
+    df = hydrated
+    for f in EMBED_FIELDS:
+        df = df.withColumn(
+            f"{f}_cosine",
+            F.coalesce(cos(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec")), F.lit(0.0)),
+        )
+    df = df.withColumn("person_levenshtein", S.levenshtein_sim("l_person", "r_person"))
+    for a, b in [
+        ("person", "title"),
+        ("person", "provision"),
+        ("person", "subjects"),
+        ("title", "subjects"),
+        ("title", "provision"),
+        ("provision", "subjects"),
+    ]:
+        df = df.withColumn(
+            f"{a}_{b}_harmonic",
+            S.harmonic_mean(F.col(f"{a}_cosine"), F.col(f"{b}_cosine")),
+        )
+    df = df.withColumn(
+        "person_subjects_product", S.product(F.col("person_cosine"), F.col("subjects_cosine"))
+    )
+    df = df.withColumn(
+        "composite_subjects_ratio",
+        S.safe_ratio(F.col("composite_cosine"), F.col("subjects_cosine")),
+    )
+    return df
+
+
+def with_extra_features(df: DataFrame) -> DataFrame:
+    """Append the north-rule extras. Jaro-Winkler is the one pandas
+    UDF; Jaccard and year-match are native expressions over tokens and
+    the extracted-year structs."""
+    ln = TX.normalize_name("l_person")
+    rn = TX.normalize_name("r_person")
+    df = df.withColumn(
+        "person_jaro_winkler",
+        F.coalesce(S.jaro_winkler_udf(ln, rn), F.lit(0.0)),
+    )
+    df = df.withColumn("person_jaccard", S.token_jaccard(TX.tokens(ln), TX.tokens(rn)))
+    df = df.withColumn(
+        "title_jaccard",
+        S.token_jaccard(TX.tokens(F.lower(F.col("l_title"))), TX.tokens(F.lower(F.col("r_title")))),
+    )
+    df = df.withColumn(
+        "subjects_jaccard",
+        S.token_jaccard(
+            TX.tokens(F.lower(F.col("l_subjects"))), TX.tokens(F.lower(F.col("r_subjects")))
+        ),
+    )
+    # low-information names ('Dubois, S.') cannot be matched on the name
+    # alone; flag them so the classifier/prefilters can demand
+    # corroboration from title/subjects/years
+    def n_informative(col):
+        return F.size(F.filter(TX.tokens(TX.normalize_name(col)), lambda t: F.length(t) >= 3))
+
+    df = df.withColumn(
+        "low_info_name",
+        F.when(
+            (n_informative("l_person") < 2) | (n_informative("r_person") < 2), 1.0
+        ).otherwise(0.0),
+    )
+    ly = Y.extract_years_udf(F.col("l_person"))
+    ry = Y.extract_years_udf(F.col("r_person"))
+    df = df.withColumn("_ly", ly).withColumn("_ry", ry)
+    df = df.withColumn(
+        "year_match",
+        Y.year_match(
+            F.col("_ly.birth"), F.col("_ly.death"), F.col("_ry.birth"), F.col("_ry.death")
+        ),
+    ).drop("_ly", "_ry")
+    return df
+
+
+def feature_matrix(
+    df: DataFrame,
+    id_cols: tuple[str, ...] = ("id1", "id2"),
+    names: tuple[str, ...] = FEATURE_NAMES,
+) -> DataFrame:
+    return df.select(*id_cols, *[n for n in names if n in df.columns])

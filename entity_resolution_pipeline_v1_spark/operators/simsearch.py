@@ -1,0 +1,150 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two tiers:
+
+  brute_force_topk — exact cosine top-k via a (queries × corpus) join;
+    the correctness baseline. Queries are broadcast (they're the small
+    side); the corpus streams; a Window row_number takes k. Exact and
+    scale-safe in the corpus dimension (scan-shaped), not in |queries|.
+
+  ivf_topk — the scale path: k-means-style coarse quantizer built from
+    a deterministic sample, every corpus vector assigned to its nearest
+    centroid (one pandas-UDF pass), queries probe only `nprobe` nearest
+    cells. Classic IVF-Flat, expressed as DataFrame ops; recall is
+    tunable via nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.similarity import cosine_expr
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank<=k), exact."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side spherical k-means on a deterministic sample (the
+    coarse quantizer is tiny; training it centrally is the standard
+    IVF recipe)."""
+    sample = (
+        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist()
+    )
+    X = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in sample]))
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out_col: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid cell ids (array of nprobe cells, Arrow-batched)."""
+    cents = centroids  # captured; shipped once per executor via task closure
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        out = []
+        for vec in v:
+            if vec is None:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64)
+            n = np.linalg.norm(x)
+            if n > 0:
+                x = x / n
+            sims = cents @ x
+            top = np.argsort(-sims)[:nprobe]
+            out.append([int(t) for t in top])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, cells(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat ANN: corpus partitioned into cells once (nprobe=1),
+    queries probe their nprobe nearest cells; cosine + top-k inside
+    matching cells only."""
+    c_cells = assign_cells(corpus, centroids, vec_col, "cell", nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode("cell").alias("cell"),
+    )
+    q_cells = assign_cells(queries, centroids, vec_col, "cell", nprobe=nprobe).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.explode("cell").alias("cell"),
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), on="cell")
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,173 @@
+"""End-to-end ER pipeline plan: the stage DAG with checkpoint/resume.
+
+Mirrors the reference's resumable stage loop (reference
+src/pipeline.py:84-96, main.py:138-178) on Spark terms: every stage
+writes a parquet table + manifest; a re-run with the same work_dir
+skips completed stages; metrics/lineage rows land in the metrics
+table per stage (north_rule).
+
+    extract -> preprocess -> embed -> block -> pairs -> score
+            -> classify -> cluster -> outputs
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.features import ALL_FEATURE_NAMES
+from ..operators import blocking, classify, cluster, extract, features, pairs, preprocess
+from ..sources import sinks
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    wall_sec: float
+    skipped: bool = False
+
+
+class ERPipeline:
+    """Batch ER pipeline over a pages DataFrame."""
+
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or PipelineConfig()
+        self.results: list[StageResult] = []
+        self.model: classify.Model | None = None
+
+    # -- stage runner ------------------------------------------------------
+    def _stage(self, name: str, build, resume: bool = True, partition_by=None) -> DataFrame:
+        work = self.cfg.checkpoint_dir
+        if resume and sinks.stage_complete(work, name):
+            df = sinks.read_stage(self.spark, work, name)
+            self.results.append(StageResult(name, -1, 0.0, skipped=True))
+            return df
+        t0 = time.time()
+        df = build()
+        out = sinks.write_stage(df, work, name, partition_by)
+        wall = time.time() - t0
+        sinks.record_metrics(out, work, name, wall)
+        self.results.append(StageResult(name, out.count(), wall))
+        return out
+
+    # -- full run ----------------------------------------------------------
+    def run(
+        self,
+        pages: DataFrame,
+        labeled_pairs: DataFrame | None = None,
+        model: classify.Model | None = None,
+        resume: bool = True,
+    ) -> DataFrame:
+        cfg = self.cfg
+
+        extracted = self._stage(
+            "extract", lambda: extract.extract_text(pages, mode="main"), resume
+        )
+        records = self._stage(
+            "preprocess", lambda: preprocess.parse_records(extracted), resume
+        )
+        uniques = self._stage(
+            "unique_strings",
+            lambda: preprocess.unique_strings(
+                preprocess.long_form(records), cfg.min_string_frequency
+            ),
+            resume,
+        )
+        embeddings = self._stage(
+            "embed", lambda: preprocess.embed_unique(uniques, cfg.embedding_dim), resume
+        )
+        wide = self._stage(
+            "records_wide", lambda: preprocess.records_wide(records, embeddings), resume
+        )
+        blocks = self._stage(
+            "block",
+            lambda: blocking.cap_blocks(
+                blocking.build_blocks(
+                    records,
+                    num_hashes=cfg.minhash_num_hashes,
+                    bands=cfg.minhash_bands,
+                    sn_window=cfg.sorted_neighborhood_window,
+                ),
+                cfg.max_block_size,
+            ),
+            resume,
+        )
+        cand = self._stage("pairs", lambda: pairs.candidate_pairs(blocks), resume)
+        featured = self._stage(
+            "score",
+            lambda: features.feature_matrix(
+                features.with_extra_features(
+                    features.with_features(features.hydrate_pairs(cand, wide))
+                ),
+                names=ALL_FEATURE_NAMES,
+            ),
+            resume,
+        )
+
+        # -- model: train on labels if given, else golden weights ----------
+        if model is not None:
+            self.model = model
+        elif labeled_pairs is not None:
+            self.model = self._train(labeled_pairs, wide)
+        else:
+            self.model = classify.Model.golden()
+
+        edges = self._stage(
+            "classify",
+            lambda: classify.classify_pairs(
+                featured, self.model, cfg, year_match_col=F.col("year_match")
+            ).filter(F.col("is_match")),
+            resume,
+        )
+        deduped = pairs.dedup_scored_pairs(edges, "id1", "id2", "confidence")
+        labels = self._stage(
+            "cluster",
+            lambda: cluster.filter_and_relabel(
+                cluster.connected_components(
+                    deduped.filter(F.col("confidence") >= cfg.edge_threshold).select(
+                        F.col("id1").alias("src"), F.col("id2").alias("dst")
+                    ),
+                    checkpoint_interval=cfg.checkpoint_interval,
+                ),
+                cfg.min_cluster_size,
+                cfg.max_cluster_size,
+            ),
+            resume,
+        )
+        return labels
+
+    # -- training path ------------------------------------------------------
+    def _train(self, labels: DataFrame, wide: DataFrame) -> classify.Model:
+        """J6 hydration: labels ⋈ records_wide twice -> features ->
+        driver-side deterministic GD (the labeled set is tiny by
+        construction; this is the same scale split the reference makes)."""
+        import numpy as np
+
+        pair_ids = labels.select(
+            F.col("left").alias("id1"), F.col("right").alias("id2"), "match"
+        )
+        hydrated = features.hydrate_pairs(pair_ids, wide)
+        feat = features.with_extra_features(features.with_features(hydrated)).select(
+            *ALL_FEATURE_NAMES, F.col("match").cast("int").alias("y")
+        )
+        pdf = feat.toPandas()
+        X = pdf[list(ALL_FEATURE_NAMES)].to_numpy(dtype=float)
+        y = pdf["y"].to_numpy(dtype=float)
+        model, metrics = classify.train(X, y, self.cfg, feature_names=ALL_FEATURE_NAMES)
+        self.train_metrics = metrics
+        return model
+
+    def summary(self) -> dict:
+        return {
+            "stages": [
+                {"name": r.name, "rows": r.rows, "wall_sec": round(r.wall_sec, 3), "skipped": r.skipped}
+                for r in self.results
+            ],
+            "model_bias": self.model.bias if self.model else None,
+        }
