@@ -1,0 +1,143 @@
+"""Feature contract (reference §2.9) + classifier parity and training."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark.config import (
+    FEATURE_NAMES,
+    GOLDEN_BIAS,
+    GOLDEN_WEIGHTS,
+    PipelineConfig,
+)
+from entity_resolution_pipeline_v1_spark.operators import classify, features
+
+
+def test_feature_order_is_reference_order():
+    assert FEATURE_NAMES == (
+        "composite_cosine", "person_cosine", "title_cosine", "provision_cosine",
+        "subjects_cosine", "person_levenshtein", "person_title_harmonic",
+        "person_provision_harmonic", "person_subjects_harmonic",
+        "title_subjects_harmonic", "title_provision_harmonic",
+        "provision_subjects_harmonic", "person_subjects_product",
+        "composite_subjects_ratio",
+    )
+
+
+def _hydrated_row(spark):
+    """One hand-written pair with known vectors/strings."""
+    v = lambda *x: [float(t) for t in x]
+    row = {
+        "id1": "a", "id2": "b",
+        "l_person": "Smith, John", "r_person": "Smith, Jon",
+        "l_title": "T", "r_title": "T", "l_provision": None, "r_provision": None,
+        "l_subjects": "Math", "r_subjects": "Math",
+        "l_composite_vec": v(1, 0), "r_composite_vec": v(1, 0),
+        "l_person_vec": v(0.6, 0.8), "r_person_vec": v(1, 0),
+        "l_title_vec": v(0, 1), "r_title_vec": v(0, 1),
+        "l_provision_vec": None, "r_provision_vec": None,
+        "l_subjects_vec": v(1, 1), "r_subjects_vec": v(1, 1),
+    }
+    schema = (
+        "id1 string, id2 string, l_person string, r_person string, l_title string,"
+        " r_title string, l_provision string, r_provision string, l_subjects string,"
+        " r_subjects string, l_composite_vec array<float>, r_composite_vec array<float>,"
+        " l_person_vec array<float>, r_person_vec array<float>, l_title_vec array<float>,"
+        " r_title_vec array<float>, l_provision_vec array<float>, r_provision_vec array<float>,"
+        " l_subjects_vec array<float>, r_subjects_vec array<float>"
+    )
+    return spark.createDataFrame([tuple(row.values())], schema)
+
+
+def test_feature_values_hand_checked(spark):
+    out = features.with_features(_hydrated_row(spark)).collect()[0]
+    assert out["composite_cosine"] == pytest.approx(1.0)
+    assert out["person_cosine"] == pytest.approx(0.6)
+    assert out["title_cosine"] == pytest.approx(1.0)
+    assert out["provision_cosine"] == 0.0  # missing vector -> 0.0
+    assert out["subjects_cosine"] == pytest.approx(1.0)
+    # lev("Smith, John","Smith, Jon") = 1 deletion over maxlen 11
+    assert out["person_levenshtein"] == pytest.approx(1 - 1 / 11)
+    assert out["person_title_harmonic"] == pytest.approx(2 * 0.6 * 1.0 / 1.6)
+    assert out["person_provision_harmonic"] == 0.0
+    assert out["person_subjects_product"] == pytest.approx(0.6)
+    assert out["composite_subjects_ratio"] == pytest.approx(1.0)
+
+
+def test_extra_features(spark):
+    out = features.with_extra_features(features.with_features(_hydrated_row(spark))).collect()[0]
+    assert out["person_jaccard"] == pytest.approx(1 / 3)
+    assert out["title_jaccard"] == 1.0
+    assert out["subjects_jaccard"] == 1.0
+    assert out["year_match"] == 0.0
+    assert out["low_info_name"] == 0.0
+    assert 0.8 < out["person_jaro_winkler"] <= 1.0
+
+
+def test_golden_score_expr_matches_numpy(spark):
+    model = classify.Model.golden()
+    vals = {name: 0.5 + 0.02 * i for i, name in enumerate(FEATURE_NAMES)}
+    df = spark.createDataFrame(
+        [tuple(vals.values())], ", ".join(f"{n} double" for n in FEATURE_NAMES)
+    )
+    got = df.select(classify.score_expr(model).alias("p")).collect()[0]["p"]
+    z = GOLDEN_BIAS + sum(GOLDEN_WEIGHTS[n] * vals[n] for n in FEATURE_NAMES)
+    assert got == pytest.approx(1 / (1 + math.exp(-z)), rel=1e-9)
+
+
+def test_train_is_deterministic_and_learns():
+    rng = np.random.RandomState(0)
+    n = 400
+    X = rng.rand(n, len(FEATURE_NAMES))
+    y = (X[:, 1] + X[:, 5] > 1.0).astype(float)  # person_cosine + levenshtein
+    cfg = PipelineConfig(learning_rate=0.5, max_iterations=2000, early_stop_patience=50)
+    m1, met1 = classify.train(X, y, cfg)
+    m2, met2 = classify.train(X, y, cfg)
+    assert m1.weights == m2.weights and m1.bias == m2.bias
+    assert met1["f1"] > 0.9
+    assert m1.weights["person_cosine"] > m1.weights["provision_cosine"]
+
+
+def test_prefilters(spark):
+    model = classify.Model.golden()
+    cfg = PipelineConfig()
+    base_cols = {n: 0.0 for n in FEATURE_NAMES}
+    rows = [
+        {**base_cols, "composite_cosine": 0.9, "person_cosine": 0.9},  # C4 autoaccept
+        {**base_cols, "composite_cosine": 0.1, "person_cosine": 0.1},  # C6 autoreject
+    ]
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], ", ".join(f"{n} double" for n in base_cols)
+    )
+    out = classify.classify_pairs(
+        df.withColumn("id1", F.lit("a")).withColumn("id2", F.lit("b")), model, cfg
+    ).collect()
+    assert out[0]["confidence"] == pytest.approx(cfg.autoaccept_confidence)
+    assert out[1]["confidence"] == pytest.approx(cfg.autoreject_confidence)
+
+
+def test_low_info_corroboration_cap(spark):
+    model = classify.Model.golden()
+    cfg = PipelineConfig(composite_cosine_autoaccept=2.0, person_cosine_autoreject=0.0)
+    cols = {n: 0.9 for n in FEATURE_NAMES}
+    extra = {"title_jaccard": 0.0, "subjects_jaccard": 0.0, "year_match": 0.0, "low_info_name": 1.0}
+    df = spark.createDataFrame(
+        [tuple({**cols, **extra}.values())],
+        ", ".join(f"{n} double" for n in {**cols, **extra}),
+    ).withColumn("id1", F.lit("a")).withColumn("id2", F.lit("b"))
+    out = classify.classify_pairs(df, model, cfg).collect()[0]
+    assert out["confidence"] <= cfg.low_info_confidence_cap
+    # with corroboration the cap lifts
+    df2 = df.withColumn("title_jaccard", F.lit(0.9))
+    out2 = classify.classify_pairs(df2, model, cfg).collect()[0]
+    assert out2["confidence"] > cfg.low_info_confidence_cap
+
+
+def test_model_save_load(tmp_path):
+    m = classify.Model.golden()
+    p = str(tmp_path / "m.json")
+    m.save(p)
+    m2 = classify.Model.load(p)
+    assert m2.weights == m.weights and m2.bias == m.bias

@@ -1,0 +1,71 @@
+"""Connected components vs a union-find oracle, plus size filtering."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark.operators.cluster import (
+    connected_components,
+    filter_and_relabel,
+)
+
+
+def _oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), set()).add(n)
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_cc_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = []
+    # chains, cliques, stars, random links
+    for i in range(0, 30):
+        edges.append((nodes[i], nodes[i + 1]))
+    for i in range(40, 50):
+        for j in range(i + 1, 50):
+            edges.append((nodes[i], nodes[j]))
+    for i in range(60, 80):
+        edges.append((nodes[60], nodes[i]))
+    for _ in range(30):
+        edges.append((rng.choice(nodes[80:]), rng.choice(nodes[80:])))
+    edges = [(a, b) for a, b in edges if a != b]
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    labels = connected_components(df)
+    got = {}
+    for r in labels.collect():
+        got.setdefault(r["cluster_id"], set()).add(r["record_id"])
+    assert {frozenset(v) for v in got.values()} == _oracle(edges)
+    # cluster_id is the component minimum
+    for cid, members in got.items():
+        assert cid == min(members)
+
+
+def test_filter_and_relabel(spark):
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c3"), ("e", "c3"), ("f", "c3")],
+        "record_id string, cluster_id string",
+    )
+    out = filter_and_relabel(labels, min_cluster_size=2, max_cluster_size=2)
+    rows = out.collect()
+    # c2 (singleton) dropped; c1 and c3 kept, densely renumbered 0/1
+    assert {r["cluster_id"] for r in rows} == {0, 1}
+    oversized = {r["record_id"]: r["oversized"] for r in rows}
+    assert oversized["d"] and oversized["e"] and oversized["f"]
+    assert not oversized["a"]

@@ -1,0 +1,109 @@
+"""Dedup suite and similarity search on planted duplicates/vectors."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark.operators import dedup, simsearch
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("today", "tonight")),       # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "another unrelated document discussing minhash banding theory"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs)
+    dup = groups.filter(F.col("dup_count") > 1).collect()
+    assert len(dup) == 1 and dup[0]["canonical_id"] == 1 and dup[0]["dup_count"] == 2
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_dedup(docs):
+    pairs = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_dedup(docs):
+    pairs = dedup.simhash_dedup(docs, max_hamming=8)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_ngram_jaccard(docs, spark):
+    cand = spark.createDataFrame([(1, 2), (1, 4)], "id1 long, id2 long")
+    out = {(r["id1"], r["id2"]): r["ngram_jaccard"] for r in dedup.ngram_jaccard_pairs(docs, cand).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(42)
+    centers = rng.randn(4, 16)
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.randn(16)
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.astype(np.float32).tolist(), c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(vectors, spark):
+    pdf = vectors.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.brute_force_topk(vectors, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for q in range(3):
+        qv = M[q]
+        sims = M @ qv / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+        order = [i for i in np.argsort(-sims) if i != q][:5]
+        mine = [n for _, n, _ in sorted(got[q])]
+        # allow tie reordering at equal cosine
+        assert set(mine) == set(order) or all(
+            abs(sims[a] - sims[b]) < 1e-6 for a, b in zip(mine, order) if a != b
+        )
+
+
+def test_ivf_recall(vectors):
+    cents = simsearch.train_centroids(vectors, n_centroids=4, sample_rows=200)
+    queries = vectors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.brute_force_topk(vectors, queries, k=5)
+    approx = simsearch.ivf_topk(vectors, queries, cents, k=5, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8
+
+
+def test_embedding_near_dup(spark):
+    v1 = [1.0, 0.0, 0.0]
+    v2 = [0.999, 0.01, 0.0]
+    v3 = [0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<float>"
+    )
+    out = {(r["id1"], r["id2"]) for r in dedup.embedding_near_dup(df, cosine_threshold=0.99).collect()}
+    assert out == {(1, 2)}

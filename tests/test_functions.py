@@ -1,0 +1,111 @@
+"""Unit tests for scalar similarity functions vs python/numpy oracles.
+
+Semantics pinned to the reference (SURVEY.md §2.8): levenshtein
+(src/utils.py:212-229), harmonic mean (src/features.py:371-376),
+product/ratio (src/features.py:226-238), cosine (src/utils.py:146-177).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark.functions import similarity as S
+
+
+def _one(spark, expr, **cols):
+    schema = ", ".join(f"{k} {'string' if isinstance(v, (str, type(None))) else 'double'}" for k, v in cols.items())
+    df = spark.createDataFrame([tuple(cols.values())], schema)
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("kitten", "sitting", 1 - 3 / 7),
+        ("abc", "abc", 1.0),
+        ("abc", "", 0.0),
+        ("", "", 1.0),
+        (None, "abc", 0.0),
+        ("a", "b", 0.0),
+    ],
+)
+def test_levenshtein_sim(spark, a, b, expected):
+    out = _one(spark, S.levenshtein_sim(F.col("a"), F.col("b")), a=a, b=b)
+    assert out == pytest.approx(expected)
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [(0.5, 0.5, 0.5), (0.2, 0.8, 2 * 0.2 * 0.8 / 1.0), (0.0, 0.9, 0.0), (-0.1, 0.9, 0.0)],
+)
+def test_harmonic_mean(spark, a, b, expected):
+    out = _one(spark, S.harmonic_mean(F.col("a"), F.col("b")), a=a, b=b)
+    assert out == pytest.approx(expected)
+
+
+def test_product_and_ratio(spark):
+    assert _one(spark, S.product(F.col("a"), F.col("b")), a=0.5, b=0.4) == pytest.approx(0.2)
+    assert _one(spark, S.safe_ratio(F.col("a"), F.col("b")), a=0.5, b=0.25) == pytest.approx(2.0)
+    assert _one(spark, S.safe_ratio(F.col("a"), F.col("b")), a=0.5, b=0.0) == 0.0
+
+
+def test_sigmoid(spark):
+    out = _one(spark, S.sigmoid(F.col("a")), a=0.3)
+    assert out == pytest.approx(1 / (1 + math.exp(-0.3)))
+
+
+def test_token_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"]), (["a"], ["a"]), ([], ["a"]), (None, ["a"])],
+        "a array<string>, b array<string>",
+    )
+    out = [r["j"] for r in df.select(S.token_jaccard("a", "b").alias("j")).collect()]
+    assert out[0] == pytest.approx(2 / 4)
+    assert out[1] == 1.0
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_cosine_udf_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    rows = []
+    for _ in range(50):
+        a = rng.randn(16).astype(np.float32)
+        b = rng.randn(16).astype(np.float32)
+        rows.append((a.tolist(), b.tolist()))
+    rows.append((None, rows[0][1]))
+    rows.append(([0.0] * 16, rows[0][1]))  # zero norm -> 0.0
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = [r["c"] for r in df.select(S.cosine_udf("a", "b").alias("c")).collect()]
+    for (a, b), g in zip(rows, got):
+        if a is None or np.linalg.norm(a) == 0:
+            assert g == 0.0
+        else:
+            exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert g == pytest.approx(exp, rel=1e-5)
+
+
+def test_cosine_expr_matches_udf(spark):
+    rng = np.random.RandomState(7)
+    rows = [(rng.randn(8).astype(np.float32).tolist(), rng.randn(8).astype(np.float32).tolist()) for _ in range(20)]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = df.select(
+        S.cosine_udf("a", "b").alias("u"), S.cosine_expr("a", "b").alias("e")
+    ).collect()
+    for r in got:
+        assert r["u"] == pytest.approx(r["e"], rel=1e-5)
+
+
+def test_jaro_winkler(spark):
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("abc", "abc"), ("", "abc"), (None, "x")],
+        "a string, b string",
+    )
+    got = [r["j"] for r in df.select(S.jaro_winkler_udf("a", "b").alias("j")).collect()]
+    assert got[0] == pytest.approx(0.9611, abs=1e-3)
+    assert got[1] == pytest.approx(0.8133, abs=1e-3)
+    assert got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0

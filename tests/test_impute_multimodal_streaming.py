@@ -1,0 +1,90 @@
+"""Imputation, multimodal plumbing, and the streaming ingest path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark.operators import impute, multimodal
+from entity_resolution_pipeline_v1_spark.sources import pages as P
+from entity_resolution_pipeline_v1_spark.streaming import ingest
+
+
+def test_impute_field(spark):
+    def unit(*x):
+        v = np.array(x, dtype=float)
+        return (v / np.linalg.norm(v)).astype(np.float32).tolist()
+
+    wide = spark.createDataFrame(
+        [
+            ("r1", None, unit(1, 0, 0)),          # target: provision null
+            ("r2", "London", unit(0, 1, 0)),
+        ],
+        "record_id string, provision string, composite_vec array<float>",
+    )
+    donors = spark.createDataFrame(
+        [
+            ("h1", "provision", "Paris : X, 1800", unit(0.9, 0.1, 0)),
+            ("h2", "provision", "Berlin : Y, 1900", unit(0, 0, 1)),
+        ],
+        "hash string, field string, value string, vector array<float>",
+    )
+    out = impute.impute_field(wide, donors, "provision", k=2, min_similarity=0.1).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["record_id"] == "r1"
+    assert row["imputed_value"] == "Paris : X, 1800"  # nearest neighbor text
+    assert row["imputed_vector"] is not None and len(row["imputed_vector"]) == 3
+
+
+def test_multimodal_fake_features(spark):
+    media = spark.createDataFrame(
+        [("m1", "image", b"\x89PNG...", ("image/png", 8, 8, None)),
+         ("m2", "image", None, ("image/png", 4, 4, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, fake=False).collect()
+    out = multimodal.extract_features(media, dim=16, fake=True).collect()
+    feats = {r["media_id"]: r["features"] for r in out}
+    assert len(feats["m1"]) == 16
+    assert feats["m2"] is None
+    meta = multimodal.attach_media_meta(media).collect()[0]
+    assert meta["payload_bytes"] == len(b"\x89PNG...")
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [("v1", "video", b"fakebytes", ("video/mp4", None, None, 3500))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000, fake=True).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_streaming_block_keys(spark, corpus, tmp_path):
+    pages_dir = str(tmp_path / "pages_stream")
+    P.pages_view(corpus).limit(50).write.mode("overwrite").parquet(pages_dir)
+    stream = ingest.read_pages_stream(spark, pages_dir, max_files=2)
+    assert stream.isStreaming
+    keys = ingest.block_keys_stream(stream)
+    ingest.run_to_memory(keys, "blk_out")
+    got = spark.sql("select * from blk_out")
+    assert got.count() > 0
+    assert set(got.columns) == {"record_id", "block_key"}
+
+
+def test_streaming_page_rate(spark, corpus, tmp_path):
+    pages_dir = str(tmp_path / "pages_stream2")
+    P.pages_view(corpus).limit(100).write.mode("overwrite").parquet(pages_dir)
+    stream = ingest.read_pages_stream(spark, pages_dir)
+    agg = ingest.page_rate_stats(stream, window="1 minute")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select sum(n_pages) as n from rate_out").collect()
+    assert rows[0]["n"] == 100

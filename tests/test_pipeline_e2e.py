@@ -1,0 +1,109 @@
+"""End-to-end gates: pairwise F1 >= 0.99, resume, sinks, metrics.
+
+The quality gate from BASELINE.json: the pipeline must reproduce the
+latent entity clusters at pairwise F1 >= 0.99 on labeled pairs over
+the deterministic fixture.
+"""
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark.config import PipelineConfig
+from entity_resolution_pipeline_v1_spark.plans.pipeline import ERPipeline
+from entity_resolution_pipeline_v1_spark.sources import pages as P
+from entity_resolution_pipeline_v1_spark.sources.sinks import write_clusters_jsonl
+
+
+def _cfg(work_dir):
+    return PipelineConfig(
+        checkpoint_dir=work_dir,
+        learning_rate=0.5,
+        max_iterations=4000,
+        l2_lambda=0.01,
+        early_stop_patience=50,
+        person_cosine_autoreject=0.0,   # trigram embedder needs no C6
+        composite_cosine_autoaccept=2.0,  # C4 off: trigram composite isn't OpenAI-grade
+        match_threshold=0.7,
+        edge_threshold=0.7,
+    )
+
+
+@pytest.fixture(scope="module")
+def run(spark, corpus, labeled, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("e2e"))
+    pipe = ERPipeline(spark, _cfg(work))
+    labels = pipe.run(P.pages_view(corpus), labeled_pairs=labeled).cache()
+    labels.count()
+    return pipe, labels, work
+
+
+def _pairwise(labels, labeled):
+    lab = labeled.withColumnRenamed("left", "id1").withColumnRenamed("right", "id2")
+    l1 = labels.select(F.col("record_id").alias("id1"), F.col("cluster_id").alias("c1"))
+    l2 = labels.select(F.col("record_id").alias("id2"), F.col("cluster_id").alias("c2"))
+    j = (
+        lab.join(l1, "id1", "left")
+        .join(l2, "id2", "left")
+        .withColumn("pred", F.col("c1").isNotNull() & (F.col("c1") == F.col("c2")))
+    )
+    cm = {(r["match"], r["pred"]): r["count"] for r in j.groupBy("match", "pred").count().collect()}
+    tp = cm.get((True, True), 0)
+    fn = cm.get((True, False), 0)
+    fp = cm.get((False, True), 0)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return prec, rec, 2 * prec * rec / max(prec + rec, 1e-9)
+
+
+def test_pairwise_f1_gate(run, labeled):
+    _, labels, _ = run
+    prec, rec, f1 = _pairwise(labels, labeled)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} (P={prec:.4f} R={rec:.4f}) below gate"
+
+
+def test_cluster_purity(run, corpus):
+    """No predicted cluster mixes two latent entities (precision side)."""
+    _, labels, _ = run
+    truth = corpus.select("record_id", "entity_id")
+    mixed = (
+        labels.join(truth, "record_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("entity_id").alias("n_entities"))
+        .filter(F.col("n_entities") > 1)
+        .count()
+    )
+    assert mixed == 0
+
+
+def test_resume_skips_stages(run, spark, corpus):
+    pipe, labels, work = run
+    pipe2 = ERPipeline(spark, _cfg(work))
+    labels2 = pipe2.run(P.pages_view(corpus), model=pipe.model)
+    assert all(s.skipped for s in pipe2.results)
+    assert labels2.count() == labels.count()
+
+
+def test_stage_manifests_and_metrics(run, spark):
+    _, _, work = run
+    manifests = glob.glob(f"{work}/stage=*/_MANIFEST.json")
+    names = {json.load(open(m))["stage"] for m in manifests}
+    assert {"extract", "preprocess", "embed", "block", "pairs", "score", "classify", "cluster"} <= names
+    metrics = spark.read.parquet(f"{work}/metrics")
+    assert metrics.filter(F.col("kind") == "partition_rows").count() > 0
+    stage_rows = {r["stage"] for r in metrics.filter(F.col("kind") == "stage_rows").collect()}
+    assert "cluster" in stage_rows
+
+
+def test_clusters_jsonl_sink(run, tmp_path):
+    _, labels, _ = run
+    out = str(tmp_path / "clusters")
+    write_clusters_jsonl(labels, out)
+    lines = []
+    for f in glob.glob(f"{out}/part-*.json"):
+        lines += [json.loads(line) for line in open(f)]
+    assert lines and all({"cluster_id", "size", "entities"} <= set(line) for line in lines)
+    assert all(line["size"] == len(line["entities"]) for line in lines)
+    assert all(line["size"] >= 2 for line in lines)
