@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+--scaling: run the ER pairs-scored workload twice (local[8] vs
+local[32]) in fresh subprocesses on the same input and report
+throughput at both plus scaling efficiency — the BASELINE.json
+two-cluster-size evidence (N vs 4N cores).
+
+--er-worker N: internal; one ER throughput run at N cores, prints JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "tpch_q1_agg",
+    "top_orders_per_cust",
+    "revenue_by_nation",
+    "pair_dedup",
+    "field_stats",
+    "token_freq",
+    "exact_dedup",
+    "doc_stats",
+    "lang_id",
+    "minmax_normalize",
+    "lr_score",
+    "sessionize",
+    "running_revenue",
+    "embedding_norms",
+    "cosine_topk",
+    "simhash_docs",
+    "minhash_near_dup",
+]
+
+ER_RECORDS = int(os.environ.get("SPARK_GRAFT_ER_RECORDS", "20000"))
+
+
+def _sf_label(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_queries() -> dict:
+    import __spark_entry__ as E
+    from entity_resolution_pipeline_v1_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        del n
+    # ER pipeline throughput: blocks -> pairs -> features -> classify
+    t0 = time.time()
+    pairs_scored = er_throughput(spark, ER_RECORDS)
+    er_sec = time.time() - t0
+    timings["er_pipeline"] = round(er_sec, 3)
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "er_pairs_scored": pairs_scored,
+        "er_pairs_per_sec": round(pairs_scored / er_sec, 1),
+    }
+
+
+def er_throughput(spark, n_records: int) -> int:
+    """End-to-end ER scoring workload: generate corpus, block, pair,
+    score, classify. Returns pairs scored (the BASELINE throughput
+    numerator)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_v1_spark.config import PipelineConfig
+    from entity_resolution_pipeline_v1_spark.operators import (
+        blocking,
+        classify,
+        extract,
+        features,
+        pairs,
+        preprocess,
+    )
+    from entity_resolution_pipeline_v1_spark.operators.features import ALL_FEATURE_NAMES
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="er_bench_")
+
+    def ckpt(df, name):
+        # materialize stage boundaries exactly like ERPipeline's parquet
+        # checkpoints: the record lineage crosses Python (generation +
+        # extraction) and feeds ~10 downstream branches — recomputing it
+        # per branch serializes the job; parquet keeps the materialized
+        # data off-heap (localCheckpoint's BlockManager blocks pressure
+        # the shared local-mode heap)
+        path = f"{work}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    cfg = PipelineConfig()
+    corpus = P.generate_corpus(spark, n_records=n_records, seed=42)
+    pg = P.pages_view(corpus)
+    ext = extract.extract_text(pg, mode="main")
+    records = ckpt(preprocess.parse_records(ext), "records")
+    uniq = preprocess.unique_strings(preprocess.long_form(records))
+    emb = preprocess.embed_unique(uniq, cfg.embedding_dim)
+    wide = ckpt(preprocess.records_wide(records, emb), "wide")
+    blocks = blocking.cap_blocks(blocking.build_blocks(records), cfg.max_block_size)
+    # spread the Python-touching scoring stage across all cores: AQE
+    # coalesces the (byte-small) pair shuffle to a handful of
+    # partitions, which would serialize the Jaro-Winkler pandas UDF
+    par = spark.sparkContext.defaultParallelism * 2
+    cand = ckpt(pairs.candidate_pairs(blocks).repartition(par), "cand")
+    featured = features.feature_matrix(
+        features.with_extra_features(features.with_features(features.hydrate_pairs(cand, wide))),
+        names=ALL_FEATURE_NAMES,
+    )
+    model = classify.Model.golden()
+    scored = classify.classify_pairs(featured, model, cfg, year_match_col=F.col("year_match"))
+    # aggregate over confidence so Catalyst cannot prune the feature
+    # columns away — a bare count() would skip the scoring work entirely
+    row = scored.agg(F.count("*").alias("n"), F.sum("confidence").alias("s")).collect()[0]
+    assert row["s"] is not None
+    shutil.rmtree(work, ignore_errors=True)
+    return int(row["n"])
+
+
+def run_er_worker(cpus: int) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from entity_resolution_pipeline_v1_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-er-{cpus}", cpus=cpus)
+    # warm the JVM/codegen with a trivial action so the measured run is compute
+    spark.range(1000).count()
+    t0 = time.time()
+    n = er_throughput(spark, ER_RECORDS)
+    sec = time.time() - t0
+    print(json.dumps({"cpus": cpus, "pairs": n, "sec": round(sec, 2),
+                      "pairs_per_sec": round(n / sec, 1)}))
+
+
+def run_scaling() -> dict:
+    """N vs 4N cores on identical input (local[8] vs local[32]) —
+    fresh subprocess each so the JVM/master is really re-sized."""
+    out = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--er-worker", str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    t8, t32 = out[8]["pairs_per_sec"], out[32]["pairs_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    return {
+        "metric": "er_scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput": {"local[8]": t8, "local[32]": t32},
+        "detail": out,
+        "er_records": ER_RECORDS,
+    }
+
+
+if __name__ == "__main__":
+    if "--er-worker" in sys.argv:
+        run_er_worker(int(sys.argv[sys.argv.index("--er-worker") + 1]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_queries()))

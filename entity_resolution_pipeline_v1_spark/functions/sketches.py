@@ -26,16 +26,27 @@ from pyspark.sql import types as T
 def minhash_signature(tokens_col: Column | str, num_hashes: int = 24) -> Column:
     """array<bigint> MinHash signature over an array<string> column.
 
-    xxhash64(token, seed_i) simulates k independent hash functions.
+    Single-pass formulation: one `aggregate` fold over the token array,
+    each token hashed k ways (xxhash64(token, seed_i)), element-wise
+    min into the accumulator. The token array — often an expensive
+    shingle expression — is therefore evaluated ONCE per row, not once
+    per hash function (the naive k×array_min(transform(...)) form costs
+    k token-array evaluations because Catalyst inlines, it never CSEs).
+
     Empty/null token arrays get a NULL signature (no blocks emitted).
     """
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     t = F.array_distinct(t)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(t, lambda x, i=i: F.xxhash64(x, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    init = F.array_repeat(F.lit(2**63 - 1), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        t,
+        init,
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(tok, i)),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return F.when(t.isNull() | (F.size(t) == 0), F.lit(None)).otherwise(sig)
 
@@ -45,6 +56,10 @@ def lsh_band_keys(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
 
     Two sets colliding on any band become a candidate pair; banding
     theory gives the usual s-curve on Jaccard similarity.
+
+    Implementation note: the slice is stringified with a CAST to
+    array<string> (codegen'd), NOT a transform() lambda — interpreted
+    higher-order functions serialize badly under many executor threads.
     """
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     rows_per_band = num_hashes // bands
@@ -53,9 +68,7 @@ def lsh_band_keys(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
         piece = F.slice(sig, b * rows_per_band + 1, rows_per_band)
         keys.append(
             F.md5(
-                F.concat_ws(
-                    ":", F.lit(str(b)), F.concat_ws(",", F.transform(piece, lambda x: x.cast("string")))
-                )
+                F.concat_ws(":", F.lit(str(b)), F.concat_ws(",", piece.cast("array<string>")))
             )
         )
     return F.when(sig.isNull(), F.lit(None)).otherwise(F.array(*keys))
@@ -63,6 +76,66 @@ def lsh_band_keys(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
 
 def _md5_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def make_minhash_text_udf(num_hashes: int = 64, shingle_size: int = 5, seed: int = 42):
+    """Arrow-batched MinHash over raw TEXT: char shingling, base
+    hashing, and the k-way min all happen in vectorized numpy inside
+    one pandas UDF.
+
+    This is the HOT-PATH variant: the pure-expression form
+    (minhash_signature) is semantically equivalent but built on
+    interpreted higher-order functions, which contend under many
+    executor threads; the Arrow path scales linearly with cores.
+
+    Base shingle hash = polynomial rolling hash mod 2^64 (numpy uint64
+    wraparound); k functions = odd-multiplier mixing of the base hash.
+    Deterministic for a given (num_hashes, shingle_size, seed).
+    """
+    rng = np.random.RandomState(seed)
+    # odd multipliers + offsets for k universal-ish hash functions
+    A = (rng.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(1, 2**62, size=num_hashes).astype(np.uint64)
+    POW = np.power(
+        np.uint64(1099511628211), np.arange(shingle_size, dtype=np.uint64)
+    )  # FNV-prime powers, wraps mod 2^64
+
+    def sig_of(text: str | None):
+        if text is None:
+            return None
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(data)
+        if n == 0:
+            return None
+        k = min(shingle_size, n)
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+        base = np.unique((windows * POW[:k]).sum(axis=1, dtype=np.uint64))
+        # chunk the (n_shingles x num_hashes) product so huge documents
+        # stay within a bounded memory footprint
+        mins = np.full(num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for lo in range(0, len(base), 65536):
+            h = base[lo : lo + 65536, None] * A[None, :] + B[None, :]
+            np.minimum(mins, h.min(axis=0), out=mins)
+        return mins.view(np.int64).tolist()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_text(texts: pd.Series) -> pd.Series:
+        return texts.map(sig_of)
+
+    return minhash_text
+
+
+@F.pandas_udf(T.DoubleType())
+def minhash_est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
+    """Positional agreement rate of two MinHash signatures — the
+    standard Jaccard estimator — vectorized over the Arrow batch."""
+    out = np.zeros(len(sig1))
+    mask = sig1.notna() & sig2.notna()
+    if mask.any():
+        a = np.stack(sig1[mask].to_numpy())
+        b = np.stack(sig2[mask].to_numpy())
+        out[mask.to_numpy()] = (a == b).mean(axis=1)
+    return pd.Series(out)
 
 
 @F.pandas_udf(T.LongType())

@@ -37,9 +37,12 @@ def normalize_name(col: ColumnOrName) -> Column:
 
 
 def tokens(col: ColumnOrName) -> Column:
-    """Lowercased word tokens (array<string>), empty tokens removed."""
+    """Lowercased word tokens (array<string>), empty tokens removed.
+    array_remove (codegen'd) instead of a filter() lambda: split's only
+    degenerate outputs are empty strings, and interpreted higher-order
+    functions contend under many executor threads."""
     arr = F.split(F.lower(_c(col)), r"\W+")
-    return F.filter(arr, lambda t: F.length(t) > 0)
+    return F.array_remove(arr, "")
 
 
 def char_shingles(col: ColumnOrName, n: int = 3) -> Column:

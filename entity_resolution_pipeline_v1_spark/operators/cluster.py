@@ -109,12 +109,18 @@ def filter_and_relabel(
 ) -> DataFrame:
     """G5: drop clusters under min size, keep-but-flag those over max,
     densely renumber by first-seen (min record) order."""
+    from .blocking import global_rank
+
     sizes = labels.groupBy("cluster_id").count()
     kept = sizes.filter(F.col("count") >= min_cluster_size)
-    w = Window.orderBy("cluster_id")
-    renum = kept.select(
+    renum = global_rank(
+        kept,
+        [F.col("cluster_id")],
+        "rank",
+        bucket_expr=F.substring(F.col("cluster_id").cast("string"), 1, 8),
+    ).select(
         "cluster_id",
-        (F.row_number().over(w) - 1).alias("dense_cluster_id"),
+        (F.col("rank") - 1).alias("dense_cluster_id"),
         (F.col("count") > max_cluster_size).alias("oversized"),
     )
     return (

@@ -24,7 +24,8 @@ from ..functions.similarity import cosine_expr, token_jaccard
 from ..functions.sketches import (
     hamming64,
     lsh_band_keys,
-    minhash_signature,
+    make_minhash_text_udf,
+    minhash_est_jaccard_udf,
     simhash_band_keys,
     simhash_udf,
 )
@@ -58,11 +59,16 @@ def minhash_candidates(
     max_block: int = 5000,
 ) -> DataFrame:
     """LSH candidate pairs (id1 < id2) from banded MinHash over
-    character shingles. Pure column-expression sketching."""
-    sig = minhash_signature(TX.char_shingles(F.col(text_col), shingle_size), num_hashes)
-    keys = docs.select(
+    character shingles. Arrow-vectorized sketching (numpy MinHash);
+    signature materialized before the band explode."""
+    mh = make_minhash_text_udf(num_hashes, shingle_size)
+    staged = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(lsh_band_keys(sig, num_hashes, bands)).alias("block_key"),
+        mh(F.col(text_col)).alias("_sig"),
+    )
+    keys = staged.select(
+        "doc",
+        F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
     )
     hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
     keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
@@ -80,26 +86,82 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_size: int = 5,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
     jaccard_threshold: float = 0.8,
+    broadcast_dim_below: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup pairs with true shingle-Jaccard verification on the
-    LSH candidates only: (id1, id2, jaccard >= threshold)."""
-    cands = minhash_candidates(docs, id_col, text_col, shingle_size, num_hashes, bands)
+    LSH candidates only: (id1, id2, jaccard >= threshold).
+
+    Two-tier verification keeps the expensive part off the flood path:
+      1. cheap signature-estimate filter (32 longs per side) prunes
+         candidate pairs whose estimated Jaccard is hopeless — LSH
+         banding over-generates badly when the corpus is self-similar;
+      2. exact Jaccard over xxhash64-hashed shingles (longs, not
+         strings) only on survivors.
+
+    The per-document side (signatures, shingle arrays) is O(n_docs)
+    while candidates can approach O(n²) on self-similar corpora, so
+    when the doc count is modest the dim side is broadcast to keep the
+    big side shuffle-free; above `broadcast_dim_below` it falls back to
+    shuffled joins (AQE decides the physical strategy).
+    """
+    n_docs = docs.count()
+    hint = F.broadcast if n_docs <= broadcast_dim_below else (lambda x: x)
+    mh = make_minhash_text_udf(num_hashes, shingle_size)
+    staged = docs.select(
+        F.col(id_col).alias("doc"),
+        mh(F.col(text_col)).alias("_sig"),
+    ).cache()
+    keys = staged.select(
+        "doc",
+        F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cands = (
+        a.join(b, on="block_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    # tier 1: signature-estimated jaccard; pairs confidently above the
+    # threshold are accepted on the estimate, pairs confidently below
+    # are dropped, and only the ~2-sigma uncertainty band pays for an
+    # exact verification join
+    s1 = staged.select(F.col("doc").alias("id1"), F.col("_sig").alias("sig1"))
+    s2 = staged.select(F.col("doc").alias("id2"), F.col("_sig").alias("sig2"))
+    est_col = minhash_est_jaccard_udf(F.col("sig1"), F.col("sig2"))
+    t = jaccard_threshold
+    slack = 2.0 * (t * (1 - t) / num_hashes) ** 0.5
+    estimated = (
+        cands.join(hint(s1), on="id1")
+        .join(hint(s2), on="id2")
+        .select("id1", "id2", est_col.alias("est"))
+        .filter(F.col("est") >= t - slack)
+    )
+    confident = estimated.filter(F.col("est") >= t + slack).select(
+        "id1", "id2", F.col("est").alias("jaccard")
+    )
+    boundary = estimated.filter(F.col("est") < t + slack).select("id1", "id2")
+    # tier 2: exact jaccard over hashed shingles for the boundary band
     sh = docs.select(
         F.col(id_col),
-        TX.char_shingles(F.col(text_col), shingle_size).alias("sh"),
+        F.transform(
+            TX.char_shingles(F.col(text_col), shingle_size),
+            lambda s: F.xxhash64(s),
+        ).alias("sh"),
     )
     l = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     r = sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
-    return (
-        cands.join(l, on="id1")
-        .join(r, on="id2")
+    verified = (
+        boundary.join(hint(l), on="id1")
+        .join(hint(r), on="id2")
         .withColumn("jaccard", token_jaccard("sh1", "sh2"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        .filter(F.col("jaccard") >= t)
         .select("id1", "id2", "jaccard")
     )
+    return confident.unionByName(verified)
 
 
 def simhash_dedup(

@@ -47,7 +47,16 @@ def hydrate_pairs(pairs: DataFrame, wide: DataFrame) -> DataFrame:
 
 
 def with_features(hydrated: DataFrame, use_expr_cosine: bool = False) -> DataFrame:
-    """Append the 14 feature columns in reference order."""
+    """Append the 14 feature columns in reference order.
+
+    Cosines default to the Arrow-batched pandas UDF (one numpy einsum
+    per batch): measured on this runtime, interpreted higher-order
+    functions (zip_with/aggregate) serialize badly under many executor
+    threads, while the Arrow path scales linearly with cores. The
+    expression variant (`use_expr_cosine=True`) produces identical
+    values (tested) and avoids Python workers entirely — right for
+    low-parallelism or Python-starved environments.
+    """
     cos = S.cosine_expr if use_expr_cosine else S.cosine_udf
     df = hydrated
     for f in EMBED_FIELDS:
@@ -101,9 +110,12 @@ def with_extra_features(df: DataFrame) -> DataFrame:
     )
     # low-information names ('Dubois, S.') cannot be matched on the name
     # alone; flag them so the classifier/prefilters can demand
-    # corroboration from title/subjects/years
+    # corroboration from title/subjects/years. regexp_count (codegen'd)
+    # counts the >=3-letter tokens — no filter() lambda in the pair path
     def n_informative(col):
-        return F.size(F.filter(TX.tokens(TX.normalize_name(col)), lambda t: F.length(t) >= 3))
+        return F.coalesce(
+            F.regexp_count(TX.normalize_name(col), F.lit(r"[\p{L}]{3,}")), F.lit(0)
+        )
 
     df = df.withColumn(
         "low_info_name",
@@ -111,15 +123,25 @@ def with_extra_features(df: DataFrame) -> DataFrame:
             (n_informative("l_person") < 2) | (n_informative("r_person") < 2), 1.0
         ).otherwise(0.0),
     )
-    ly = Y.extract_years_udf(F.col("l_person"))
-    ry = Y.extract_years_udf(F.col("r_person"))
-    df = df.withColumn("_ly", ly).withColumn("_ry", ry)
-    df = df.withColumn(
-        "year_match",
-        Y.year_match(
-            F.col("_ly.birth"), F.col("_ly.death"), F.col("_ry.birth"), F.col("_ry.death")
-        ),
-    ).drop("_ly", "_ry")
+    # years: use per-record pre-extracted structs when the hydrate side
+    # carries them (one UDF pass over records, not two over pairs);
+    # fall back to extracting here for standalone use
+    if "l_person_years" in df.columns and "r_person_years" in df.columns:
+        ly, ry = F.col("l_person_years"), F.col("r_person_years")
+        df = df.withColumn(
+            "year_match",
+            Y.year_match(ly["birth"], ly["death"], ry["birth"], ry["death"]),
+        )
+    else:
+        df = df.withColumn("_ly", Y.extract_years_udf(F.col("l_person"))).withColumn(
+            "_ry", Y.extract_years_udf(F.col("r_person"))
+        )
+        df = df.withColumn(
+            "year_match",
+            Y.year_match(
+                F.col("_ly.birth"), F.col("_ly.death"), F.col("_ry.birth"), F.col("_ry.death")
+            ),
+        ).drop("_ly", "_ry")
     return df
 
 

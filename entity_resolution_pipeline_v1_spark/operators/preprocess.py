@@ -120,6 +120,8 @@ def records_wide(
     broadcasts it under the configured threshold; at 100 TB scale the
     same plan degrades gracefully to a shuffled hash join on `hash`.
     """
+    from ..functions.years import extract_years_udf
+
     long = long_form(records, fields)
     emb = F.broadcast(embeddings) if broadcast_embeddings else embeddings
     joined = long.join(emb, on=["hash", "field"], how="left")
@@ -130,4 +132,10 @@ def records_wide(
     )
     renames = [F.col("record_id")] + [F.col(f).alias(f"{f}_vec") for f in fields]
     vecs = vecs.select(*renames)
-    return records.join(vecs, on="record_id", how="left")
+    out = records.join(vecs, on="record_id", how="left")
+    if "person" in records.columns:
+        # birth/death years extracted ONCE per record (C5's input);
+        # pair scoring reads l_/r_person_years instead of re-running
+        # the regex UDF over every candidate pair side
+        out = out.withColumn("person_years", extract_years_udf(F.col("person")))
+    return out

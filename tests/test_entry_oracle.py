@@ -1,0 +1,78 @@
+"""Driver-contract test: every queries() entry vs its DuckDB oracle.
+
+Mimics the driver's CORRECTNESS check (row-count + column names +
+order-insensitive value comparison) at sf0.001 so mismatches surface
+in pytest before the driver runs sf0.01.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
+        )
+    return con
+
+
+def _canon(rows, cols):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{round(v, 6):.6f}"
+        if isinstance(v, int):
+            return str(v)
+        return repr(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = E.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    res = duck.execute(E.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sc, dc = _canon(srows, scols), _canon(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(E.queries()) - set(E.oracle_sql()):
+        df = E.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
+        assert df.columns
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.columns
+    assert df.count() >= 0
