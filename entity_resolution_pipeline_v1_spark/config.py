@@ -83,11 +83,17 @@ class PipelineConfig:
 
     # scoring / classification
     match_threshold: float = 0.75  # reference config.optimized.yml:179
-    composite_cosine_autoaccept: float = 0.65  # C4 (classification.py:543-564)
+    # C4/C6 prefilters (reference src/classification.py:543-619) default
+    # OFF: the reference's 0.65/0.70 cosine thresholds are calibrated
+    # for its OpenAI text-embedding space, not the bundled deterministic
+    # char-trigram embedder — with trigram vectors they cost ~0.7pt of
+    # recall on the fixture. Use PipelineConfig.reference_parity() to
+    # run with the reference's published thresholds.
+    composite_cosine_autoaccept: float | None = None  # C4; None = disabled
     autoaccept_confidence: float = 0.90
     year_match_confidence: float = 0.95  # C5
     year_accept_min_person_sim: float = 0.5  # name floor gating C5
-    person_cosine_autoreject: float = 0.70  # C6
+    person_cosine_autoreject: float | None = None  # C6; None = disabled
     autoreject_confidence: float = 0.25
     # corroboration rule for low-information names (engine addition):
     # initials-form names need a second field to agree before matching
@@ -112,3 +118,16 @@ class PipelineConfig:
     checkpoint_interval: int = 5  # CC lineage checkpoint cadence
 
     fields: tuple[str, ...] = field(default_factory=lambda: EMBED_FIELDS)
+
+    @classmethod
+    def reference_parity(cls, **overrides) -> "PipelineConfig":
+        """The reference's published prefilter thresholds
+        (config.yml:96-99: C4 composite>=0.65 autoaccept, C6
+        person<0.70 autoreject) — correct when pairing the engine with
+        OpenAI-grade embeddings as the reference does."""
+        base = dict(
+            composite_cosine_autoaccept=0.65,
+            person_cosine_autoreject=0.70,
+        )
+        base.update(overrides)
+        return cls(**base)

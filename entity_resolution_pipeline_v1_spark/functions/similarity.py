@@ -149,8 +149,15 @@ def _jaro(s1: str, s2: str) -> float:
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
-def _jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def _jaro_winkler(
+    s1: str, s2: str, p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.7
+) -> float:
+    """Canonical Winkler variant: the prefix boost applies only when the
+    Jaro score exceeds 0.7 (same semantics as DuckDB's
+    jaro_winkler_similarity and rapidfuzz — verified pairwise)."""
     j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1, s2):
         if a == b and prefix < max_prefix:

@@ -141,23 +141,38 @@ def minhash_est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
 @F.pandas_udf(T.LongType())
 def simhash_udf(tokens: pd.Series) -> pd.Series:
     """64-bit SimHash over token arrays. Deterministic (md5-based token
-    hashes, not PYTHONHASHSEED-dependent). Returned as signed int64."""
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for row_idx, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            out[row_idx] = 0
+    hashes, not PYTHONHASHSEED-dependent). Returned as signed int64.
+
+    Vectorized across the Arrow batch: tokens are deduplicated
+    batch-wide, md5-hashed once each, expanded to a ±1 bit-sign matrix
+    via np.unpackbits (bitorder='little' reproduces the (h >> k) & 1
+    bit order of the scalar definition exactly), and scattered back to
+    rows with one np.add.at — no per-bit Python loops."""
+    n = len(tokens)
+    out = np.zeros(n, dtype=np.int64)
+    row_idx: list[int] = []
+    toks: list[str] = []
+    for i, tl in enumerate(tokens):
+        if tl is None or len(tl) == 0:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(toks):
-            h = _md5_u64(tok)
-            bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
-            acc += bits * 2 - 1
-        sim = 0
-        for bit_idx in range(64):
-            if acc[bit_idx] > 0:
-                sim |= 1 << bit_idx
-        out[row_idx] = np.array([sim], dtype=np.uint64).view(np.int64)[0]
-    return pd.Series(out)
+        for t in set(tl):
+            row_idx.append(i)
+            toks.append(t)
+    if not toks:
+        return pd.Series(out)
+    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in uniq)
+    bits = np.unpackbits(
+        np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
+        axis=1,
+        bitorder="little",
+    ).astype(np.int32)
+    signs = bits * 2 - 1  # (n_uniq_tokens, 64)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, np.asarray(row_idx), signs[inv])
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sims = ((acc > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return pd.Series(sims.view(np.int64))
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:

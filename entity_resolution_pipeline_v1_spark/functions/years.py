@@ -23,8 +23,16 @@ _APPROX = r"(?:approximately|ca\.|circa)"
 _DASH = r"[-–—]"
 
 # Ordered pattern table; tuple = (regex, how-to-read-groups)
-#   "bd"  two groups birth,death;  "d" one group death-only;
-#   "b"   one group birth-only;    "b_or_d" pattern 9: either group
+#   "bd"  two groups birth,death;   "d" one group death-only;
+#   "b_or_d" pattern 9: either group
+#
+# Group-count dispatch parity (reference src/features.py:385-402): the
+# reference returns EVERY single-capture-group match as death-only —
+# including patterns 7/8/10 whose comments say "birth year only". That
+# is a reference quirk ('1840-' reads as died-1840), reproduced here
+# deliberately: the north rule is per-row behavioral parity, and
+# year_match/C5 outcomes must agree with the reference on mixed forms
+# like '1840-' vs '-1840'.
 _PATTERNS: list[tuple[re.Pattern, str]] = [
     (re.compile(rf"{_YEAR}\s*{_DASH}\s*{_APPROX}\s+{_YEAR}"), "bd"),      # 1
     (re.compile(rf"{_APPROX}\s+{_YEAR}\s*{_DASH}\s*{_APPROX}\s+{_YEAR}"), "bd"),  # 2
@@ -32,15 +40,15 @@ _PATTERNS: list[tuple[re.Pattern, str]] = [
     (re.compile(rf"{_YEAR}\s*{_DASH}\s*{_YEAR}"), "bd"),                  # 4
     (re.compile(rf"{_DASH}\s*{_APPROX}\s+{_YEAR}"), "d"),                 # 5
     (re.compile(rf"{_DASH}\s*{_YEAR}"), "d"),                             # 6
-    (re.compile(rf"{_APPROX}\s+{_YEAR}\s*{_DASH}"), "b"),                 # 7
-    (re.compile(rf"{_YEAR}\s*{_DASH}"), "b"),                             # 8
+    (re.compile(rf"{_APPROX}\s+{_YEAR}\s*{_DASH}"), "d"),                 # 7 (ref quirk)
+    (re.compile(rf"{_YEAR}\s*{_DASH}"), "d"),                             # 8 (ref quirk)
     (
         re.compile(
             rf"(?:b\.|born)\s+(?:{_APPROX}\s+)?{_YEAR}|(?:d\.|died)\s+(?:{_APPROX}\s+)?{_YEAR}"
         ),
         "b_or_d",
     ),                                                                     # 9
-    (re.compile(rf"{_APPROX}\s+{_YEAR}"), "b"),                           # 10
+    (re.compile(rf"{_APPROX}\s+{_YEAR}"), "d"),                           # 10 (ref quirk)
 ]
 
 
@@ -56,8 +64,6 @@ def extract_years(person: str | None) -> tuple[str | None, str | None]:
             return m.group(1), m.group(2)
         if kind == "d":
             return None, m.group(1)
-        if kind == "b":
-            return m.group(1), None
         # b_or_d: group 1 = birth via b./born, group 2 = death via d./died
         return m.group(1), m.group(2)
     return None, None

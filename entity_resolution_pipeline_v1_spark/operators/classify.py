@@ -161,31 +161,49 @@ def confidence_expr(
 ) -> Column:
     """Prefilter cascade (C4-C6) wrapping the LR score (C2):
 
-      composite_cosine >= 0.65            -> autoaccept confidence
-      birth/death years exactly equal     -> 0.95
-      person_cosine < 0.70                -> 0.25 (auto-reject)
-      otherwise                           -> sigmoid LR score
-    """
+      composite_cosine >= autoaccept thr  -> autoaccept confidence (C4)
+      birth/death years exactly equal     -> 0.95 (C5)
+      person_cosine < autoreject thr      -> 0.25 (C6 auto-reject)
+      otherwise                           -> sigmoid LR score (C2)
+
+    C4/C6 are skipped when their threshold is None (the default —
+    their reference values assume OpenAI embeddings; see
+    PipelineConfig.reference_parity())."""
     cfg = cfg or PipelineConfig()
     base = score_expr(model)
-    expr = F.when(
-        F.col("composite_cosine") >= cfg.composite_cosine_autoaccept,
-        F.lit(cfg.autoaccept_confidence),
-    )
+    branches: list[tuple[Column, Column]] = []
+    if cfg.composite_cosine_autoaccept is not None:
+        branches.append(
+            (
+                F.col("composite_cosine") >= cfg.composite_cosine_autoaccept,
+                F.lit(cfg.autoaccept_confidence),
+            )
+        )
     if year_match_col is not None:
         # the reference fires C5 on pairs already ANN-screened for name
         # similarity; key-collision blocking admits arbitrary neighbors,
         # so the year accept is gated on a name-similarity floor to keep
         # coincidental year equality from auto-matching strangers
-        expr = expr.when(
-            (year_match_col >= 1.0)
-            & (F.col("person_cosine") >= cfg.year_accept_min_person_sim),
-            F.lit(cfg.year_match_confidence),
+        branches.append(
+            (
+                (year_match_col >= 1.0)
+                & (F.col("person_cosine") >= cfg.year_accept_min_person_sim),
+                F.lit(cfg.year_match_confidence),
+            )
         )
-    return expr.when(
-        F.col("person_cosine") < cfg.person_cosine_autoreject,
-        F.lit(cfg.autoreject_confidence),
-    ).otherwise(base)
+    if cfg.person_cosine_autoreject is not None:
+        branches.append(
+            (
+                F.col("person_cosine") < cfg.person_cosine_autoreject,
+                F.lit(cfg.autoreject_confidence),
+            )
+        )
+    if not branches:
+        return base
+    expr = F.when(*branches[0])
+    for cond, val in branches[1:]:
+        expr = expr.when(cond, val)
+    return expr.otherwise(base)
 
 
 def classify_pairs(

@@ -89,31 +89,39 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
-    broadcast_dim_below: int = 1_000_000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with true shingle-Jaccard verification on the
-    LSH candidates only: (id1, id2, jaccard >= threshold).
+    """Near-dup pairs with true shingle-Jaccard verification:
+    (id1, id2, jaccard >= threshold) — `jaccard` is always the EXACT
+    shingle Jaccard, never the signature estimate.
 
     Two-tier verification keeps the expensive part off the flood path:
-      1. cheap signature-estimate filter (32 longs per side) prunes
-         candidate pairs whose estimated Jaccard is hopeless — LSH
-         banding over-generates badly when the corpus is self-similar;
+      1. cheap signature-estimate PRUNE (the signatures are already in
+         hand from banding) drops candidate pairs whose estimated
+         Jaccard is hopeless — LSH banding over-generates badly when
+         the corpus is self-similar; the estimate is filter-only and
+         never emitted;
       2. exact Jaccard over xxhash64-hashed shingles (longs, not
-         strings) only on survivors.
+         strings) on every survivor.
 
-    The per-document side (signatures, shingle arrays) is O(n_docs)
-    while candidates can approach O(n²) on self-similar corpora, so
-    when the doc count is modest the dim side is broadcast to keep the
-    big side shuffle-free; above `broadcast_dim_below` it falls back to
-    shuffled joins (AQE decides the physical strategy).
+    No driver actions and no broadcast hints in the plan: the
+    per-document sides (signatures, shingle arrays) join shuffled, and
+    AQE promotes them to broadcast at runtime when they fit under
+    spark.sql.autoBroadcastJoinThreshold. Signatures are persisted
+    MEMORY_AND_DISK (spill-safe) because the plan reads them three
+    times (band keys + both estimate sides); pass
+    ``persist_signatures=False`` to recompute instead — the right
+    trade when executor memory is the constraint.
     """
-    n_docs = docs.count()
-    hint = F.broadcast if n_docs <= broadcast_dim_below else (lambda x: x)
+    from pyspark.storagelevel import StorageLevel
+
     mh = make_minhash_text_udf(num_hashes, shingle_size)
     staged = docs.select(
         F.col(id_col).alias("doc"),
         mh(F.col(text_col)).alias("_sig"),
-    ).cache()
+    )
+    if persist_signatures:
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     keys = staged.select(
         "doc",
         F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
@@ -125,26 +133,21 @@ def minhash_lsh_dedup(
         .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    # tier 1: signature-estimated jaccard; pairs confidently above the
-    # threshold are accepted on the estimate, pairs confidently below
-    # are dropped, and only the ~2-sigma uncertainty band pays for an
-    # exact verification join
+    # tier 1: signature-estimated jaccard as a prune-only filter; keep
+    # everything within ~2 sigma of the threshold
     s1 = staged.select(F.col("doc").alias("id1"), F.col("_sig").alias("sig1"))
     s2 = staged.select(F.col("doc").alias("id2"), F.col("_sig").alias("sig2"))
     est_col = minhash_est_jaccard_udf(F.col("sig1"), F.col("sig2"))
     t = jaccard_threshold
     slack = 2.0 * (t * (1 - t) / num_hashes) ** 0.5
-    estimated = (
-        cands.join(hint(s1), on="id1")
-        .join(hint(s2), on="id2")
+    survivors = (
+        cands.join(s1, on="id1")
+        .join(s2, on="id2")
         .select("id1", "id2", est_col.alias("est"))
         .filter(F.col("est") >= t - slack)
+        .select("id1", "id2")
     )
-    confident = estimated.filter(F.col("est") >= t + slack).select(
-        "id1", "id2", F.col("est").alias("jaccard")
-    )
-    boundary = estimated.filter(F.col("est") < t + slack).select("id1", "id2")
-    # tier 2: exact jaccard over hashed shingles for the boundary band
+    # tier 2: exact jaccard over hashed shingles for every survivor
     sh = docs.select(
         F.col(id_col),
         F.transform(
@@ -154,14 +157,13 @@ def minhash_lsh_dedup(
     )
     l = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     r = sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
-    verified = (
-        boundary.join(hint(l), on="id1")
-        .join(hint(r), on="id2")
+    return (
+        survivors.join(l, on="id1")
+        .join(r, on="id2")
         .withColumn("jaccard", token_jaccard("sh1", "sh2"))
         .filter(F.col("jaccard") >= t)
         .select("id1", "id2", "jaccard")
     )
-    return confident.unionByName(verified)
 
 
 def simhash_dedup(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .simsearch import brute_force_topk
+from .simsearch import ivf_topk, train_centroids
 
 
 def impute_field(
@@ -26,6 +26,8 @@ def impute_field(
     field: str,
     k: int = 10,
     min_similarity: float = 0.3,
+    n_centroids: int = 16,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Records with NULL `field` get (record_id, imputed_value,
     imputed_vector) hot-decked from nearest same-field neighbors of
@@ -34,6 +36,14 @@ def impute_field(
     unique_embeddings: (hash, field, value, vector) — the distinct
     string dictionary with vectors (preprocess.embed_unique joined back
     to values).
+
+    The kNN runs through the IVF cell join, NOT brute_force_topk: the
+    query side here is every record with a NULL field (~40% of the
+    corpus on the fixtures) — an unbounded population that must never
+    be broadcast. Both IVF sides shuffle on `cell`. ``nprobe`` defaults
+    to ALL cells, which is exact (identical results to brute force)
+    while keeping the scale-safe join shape; pass a smaller nprobe to
+    trade recall for a (n_centroids/nprobe)× smaller join at scale.
     """
     targets = records_wide.filter(
         F.col(field).isNull() & F.col("composite_vec").isNotNull()
@@ -43,10 +53,13 @@ def impute_field(
         F.col("hash").alias("vec_id"), F.col("value"), F.col("vector").alias("embedding")
     )
 
-    topk = brute_force_topk(
+    centroids = train_centroids(donors, n_centroids=n_centroids)
+    topk = ivf_topk(
         donors.select("vec_id", "embedding"),
         targets,
+        centroids,
         k=k,
+        nprobe=len(centroids) if nprobe is None else nprobe,
         id_col="vec_id",
         vec_col="embedding",
         query_id_col="query_id",

@@ -32,14 +32,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank<=k), exact."""
+    """(query_id, neighbor_id, cosine, rank<=k), exact.
+
+    ``broadcast_queries=True`` is only correct when the query set is
+    genuinely small (a handful of probe vectors); an unbounded query
+    side must NOT be broadcast — callers with large query populations
+    (imputation over every null-field record) route through
+    :func:`ivf_topk`, whose cell join shuffles both sides.
+    """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(q)
         .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
         .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
     )
@@ -66,13 +76,26 @@ def train_centroids(
     sample_rows: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
-    """Driver-side spherical k-means on a deterministic sample (the
-    coarse quantizer is tiny; training it centrally is the standard
-    IVF recipe)."""
+    """Driver-side spherical k-means on an UNBIASED deterministic
+    sample (the coarse quantizer is tiny; training it centrally is the
+    standard IVF recipe). ``df.sample`` draws from every partition —
+    a bare ``limit()`` would train centroids on whatever partitions
+    happen to come first. The limit after the sample only trims the
+    driver pull. Pass ``sample_fraction`` explicitly when the caller
+    knows the corpus cardinality; the default 10% suits the fixture
+    scales while staying a constant-size pull at any corpus size."""
+    frac = 0.1 if sample_fraction is None else sample_fraction
     sample = (
-        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist()
+        corpus.select(vec_col)
+        .sample(fraction=min(frac, 1.0), seed=seed)
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+        .tolist()
     )
+    if not sample:  # tiny corpus: the sample can come back empty
+        sample = corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist()
     X = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in sample]))
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -124,7 +147,14 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-Flat ANN: corpus partitioned into cells once (nprobe=1),
     queries probe their nprobe nearest cells; cosine + top-k inside
-    matching cells only."""
+    matching cells only.
+
+    The cell join carries NO broadcast hint: the query side is
+    unbounded (imputation feeds every null-field record through here),
+    so both sides shuffle on `cell` and AQE promotes a small side to
+    broadcast at runtime if it fits. With nprobe == len(centroids) the
+    search is exact (every cell probed) while keeping the shuffled
+    join shape — the oracle-comparable configuration."""
     c_cells = assign_cells(corpus, centroids, vec_col, "cell", nprobe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -136,7 +166,7 @@ def ivf_topk(
         F.explode("cell").alias("cell"),
     )
     scored = (
-        c_cells.join(F.broadcast(q_cells), on="cell")
+        c_cells.join(q_cells, on="cell")
         .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
         .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
     )

@@ -12,8 +12,10 @@ table per stage (north_rule).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import time
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,16 +43,37 @@ class ERPipeline:
         self.results: list[StageResult] = []
         self.model: classify.Model | None = None
 
+    # -- checkpoint fingerprint ---------------------------------------------
+    def _fingerprint(self, extra: str = "") -> str:
+        """Config (+ optional model) fingerprint recorded in each stage
+        manifest. Resuming the same checkpoint_dir under a different
+        config or model invalidates the stale stages instead of
+        silently reusing them. checkpoint_dir itself is excluded —
+        moving the work dir is not a semantic change."""
+        cfg = {k: v for k, v in asdict(self.cfg).items() if k != "checkpoint_dir"}
+        blob = json.dumps(cfg, sort_keys=True, default=str) + "|" + extra
+        return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+    def _model_fp(self) -> str:
+        if self.model is None:
+            return ""
+        return json.dumps(
+            {"w": self.model.weights, "b": self.model.bias, "t": self.model.threshold},
+            sort_keys=True,
+        )
+
     # -- stage runner ------------------------------------------------------
-    def _stage(self, name: str, build, resume: bool = True, partition_by=None) -> DataFrame:
+    def _stage(self, name: str, build, resume: bool = True, partition_by=None,
+               extra_fp: str = "") -> DataFrame:
         work = self.cfg.checkpoint_dir
-        if resume and sinks.stage_complete(work, name):
+        fp = self._fingerprint(extra_fp)
+        if resume and sinks.stage_complete(work, name, fp):
             df = sinks.read_stage(self.spark, work, name)
             self.results.append(StageResult(name, -1, 0.0, skipped=True))
             return df
         t0 = time.time()
         df = build()
-        out = sinks.write_stage(df, work, name, partition_by)
+        out = sinks.write_stage(df, work, name, partition_by, fingerprint=fp)
         wall = time.time() - t0
         sinks.record_metrics(out, work, name, wall)
         self.results.append(StageResult(name, out.count(), wall))
@@ -124,6 +147,7 @@ class ERPipeline:
                 featured, self.model, cfg, year_match_col=F.col("year_match")
             ).filter(F.col("is_match")),
             resume,
+            extra_fp=self._model_fp(),
         )
         deduped = pairs.dedup_scored_pairs(edges, "id1", "id2", "confidence")
         labels = self._stage(
@@ -139,6 +163,7 @@ class ERPipeline:
                 cfg.max_cluster_size,
             ),
             resume,
+            extra_fp=self._model_fp(),  # cluster input is classify output
         )
         return labels
 

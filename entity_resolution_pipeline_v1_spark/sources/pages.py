@@ -309,15 +309,24 @@ def labeled_pairs(corpus: DataFrame, max_pos_per_entity: int = 200) -> DataFrame
     )
     # random cross-entity negatives: without them a trained model never
     # sees the "names share nothing" region of feature space and can
-    # assign it arbitrary scores
-    wrand = Window.orderBy("record_id")
-    shifted = recs.withColumn("rn", F.row_number().over(wrand))
-    half = shifted.count() // 2
-    a = shifted.filter(F.col("rn") <= half).withColumn("k", F.col("rn"))
-    b = shifted.filter(F.col("rn") > half).withColumn("k", F.col("rn") - half)
+    # assign it arbitrary scores. Pairing is derived from
+    # xxhash64(record_id) buckets — records shuffle into 64 hash
+    # buckets, are ordered by a second hash WITHIN each bucket
+    # (parallel windows, never a global sort), and consecutive rows
+    # pair up. Deterministic, no driver actions, scales with buckets.
+    n_buckets = 64
+    hashed = recs.withColumn(
+        "_b", F.pmod(F.xxhash64("record_id"), F.lit(n_buckets))
+    )
+    wb = Window.partitionBy("_b").orderBy(
+        F.xxhash64(F.lit("pair-shuffle"), F.col("record_id")), F.col("record_id")
+    )
+    ranked = hashed.withColumn("_rn", F.row_number().over(wb))
+    a = ranked.filter(F.col("_rn") % 2 == 1).withColumn("_k", (F.col("_rn") + 1) / 2)
+    b = ranked.filter(F.col("_rn") % 2 == 0).withColumn("_k", F.col("_rn") / 2)
     random_negatives = (
         a.alias("a")
-        .join(b.alias("b"), on="k")
+        .join(b.alias("b"), on=["_b", "_k"])
         .filter(F.col("a.entity_id") != F.col("b.entity_id"))
         .select(
             F.least(F.col("a.record_id"), F.col("b.record_id")).alias("left"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,11 +27,40 @@ def manifest_path(work_dir: str, stage: str) -> str:
     return os.path.join(work_dir, f"stage={stage}", "_MANIFEST.json")
 
 
-def stage_complete(work_dir: str, stage: str) -> bool:
-    return os.path.exists(manifest_path(work_dir, stage))
+def stage_complete(work_dir: str, stage: str, fingerprint: str | None = None) -> bool:
+    """True iff the stage manifest exists AND (when a fingerprint is
+    given) was written under the same config/model fingerprint.
+    A mismatch means the checkpoint is STALE — re-running the same
+    work_dir with a different config or model must not silently reuse
+    it; the stage is invalidated (recomputed) with a warning."""
+    mp = manifest_path(work_dir, stage)
+    if not os.path.exists(mp):
+        return False
+    if fingerprint is None:
+        return True
+    try:
+        with open(mp) as fh:
+            recorded = json.load(fh).get("fingerprint")
+    except (OSError, json.JSONDecodeError):
+        return False
+    if recorded != fingerprint:
+        warnings.warn(
+            f"stage '{stage}' checkpoint in {work_dir} was written under a "
+            f"different config/model fingerprint ({recorded} != {fingerprint}); "
+            "invalidating and recomputing",
+            stacklevel=2,
+        )
+        return False
+    return True
 
 
-def write_stage(df: DataFrame, work_dir: str, stage: str, partition_by: list[str] | None = None) -> DataFrame:
+def write_stage(
+    df: DataFrame,
+    work_dir: str,
+    stage: str,
+    partition_by: list[str] | None = None,
+    fingerprint: str | None = None,
+) -> DataFrame:
     """Persist a stage table + manifest; returns the re-read DataFrame
     (truncates lineage — the Spark analogue of the pickle checkpoint)."""
     path = stage_path(work_dir, stage)
@@ -47,6 +77,7 @@ def write_stage(df: DataFrame, work_dir: str, stage: str, partition_by: list[str
                 "rows": out.count(),
                 "columns": out.columns,
                 "completed_at": time.time(),
+                "fingerprint": fingerprint,
             },
             fh,
         )

@@ -101,8 +101,10 @@ def test_train_is_deterministic_and_learns():
 
 
 def test_prefilters(spark):
+    # C4/C6 are opt-in (reference-parity preset): defaults ship disabled
+    # because the thresholds assume the reference's OpenAI embeddings
     model = classify.Model.golden()
-    cfg = PipelineConfig()
+    cfg = PipelineConfig.reference_parity()
     base_cols = {n: 0.0 for n in FEATURE_NAMES}
     rows = [
         {**base_cols, "composite_cosine": 0.9, "person_cosine": 0.9},  # C4 autoaccept
@@ -120,7 +122,7 @@ def test_prefilters(spark):
 
 def test_low_info_corroboration_cap(spark):
     model = classify.Model.golden()
-    cfg = PipelineConfig(composite_cosine_autoaccept=2.0, person_cosine_autoreject=0.0)
+    cfg = PipelineConfig()  # C4/C6 disabled by default
     cols = {n: 0.9 for n in FEATURE_NAMES}
     extra = {"title_jaccard": 0.0, "subjects_jaccard": 0.0, "year_match": 0.0, "low_info_name": 1.0}
     df = spark.createDataFrame(

@@ -24,8 +24,8 @@ def _cfg(work_dir):
         max_iterations=4000,
         l2_lambda=0.01,
         early_stop_patience=50,
-        person_cosine_autoreject=0.0,   # trigram embedder needs no C6
-        composite_cosine_autoaccept=2.0,  # C4 off: trigram composite isn't OpenAI-grade
+        # C4/C6 prefilters stay at their defaults (disabled): the
+        # trigram embedder isn't calibrated for the reference thresholds
         match_threshold=0.7,
         edge_threshold=0.7,
     )

@@ -16,11 +16,14 @@ from entity_resolution_pipeline_v1_spark.functions import years as Y
         ("Doe, Jane, 1864-1949", "1864", "1949"),                    # 4
         ("Smith, J., - approximately 1700", None, "1700"),           # 5
         ("Smith, J., -1790", None, "1790"),                          # 6
-        ("approximately 1620-", "1620", None),                       # 7
-        ("Lee, Ann, 1732-", "1732", None),                           # 8
+        # 7/8/10: the reference's group-count dispatch returns every
+        # single-group match as DEATH-only (src/features.py:385-390),
+        # despite the pattern comments saying "birth only" — parity quirk
+        ("approximately 1620-", None, "1620"),                       # 7
+        ("Lee, Ann, 1732-", None, "1732"),                           # 8
         ("b. 1840", "1840", None),                                   # 9 birth
         ("died 1901", None, "1901"),                                 # 9 death
-        ("approximately 1510", "1510", None),                        # 10
+        ("approximately 1510", None, "1510"),                        # 10
         ("no years here", None, None),
         ("", None, None),
     ],
