@@ -136,7 +136,7 @@ def er_throughput(spark, n_records: int) -> int:
     par = spark.sparkContext.defaultParallelism * 2
     cand = ckpt(pairs.candidate_pairs(blocks).repartition(par), "cand")
     featured = features.feature_matrix(
-        features.with_extra_features(features.with_features(features.hydrate_pairs(cand, wide))),
+        features.with_all_features(features.hydrate_pairs(cand, wide)),
         names=ALL_FEATURE_NAMES,
     )
     model = classify.Model.golden()

@@ -10,8 +10,11 @@ everything else is whole-stage-codegen column expressions.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import EMBED_FIELDS, FEATURE_NAMES
 from ..functions import similarity as S
@@ -126,6 +129,171 @@ def with_extra_features(df: DataFrame) -> DataFrame:
     # years: use per-record pre-extracted structs when the hydrate side
     # carries them (one UDF pass over records, not two over pairs);
     # fall back to extracting here for standalone use
+    if "l_person_years" in df.columns and "r_person_years" in df.columns:
+        ly, ry = F.col("l_person_years"), F.col("r_person_years")
+        df = df.withColumn(
+            "year_match",
+            Y.year_match(ly["birth"], ly["death"], ry["birth"], ry["death"]),
+        )
+    else:
+        df = df.withColumn("_ly", Y.extract_years_udf(F.col("l_person"))).withColumn(
+            "_ry", Y.extract_years_udf(F.col("r_person"))
+        )
+        df = df.withColumn(
+            "year_match",
+            Y.year_match(
+                F.col("_ly.birth"), F.col("_ly.death"), F.col("_ry.birth"), F.col("_ry.death")
+            ),
+        ).drop("_ly", "_ry")
+    return df
+
+
+_FUSED_STRUCT = T.StructType(
+    [T.StructField(f"{f}_cosine", T.DoubleType()) for f in EMBED_FIELDS]
+    + [T.StructField("person_jaro_winkler", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_FUSED_STRUCT)
+def _fused_udf(
+    lc: pd.Series, rc: pd.Series,
+    lp: pd.Series, rp: pd.Series,
+    lt: pd.Series, rt: pd.Series,
+    lv: pd.Series, rv: pd.Series,
+    ls: pd.Series, rs: pd.Series,
+    lname: pd.Series, rname: pd.Series,
+) -> pd.DataFrame:
+    """ALL Python-side pair features in ONE Arrow transit: the five
+    embedding cosines (per-batch einsum, same math as
+    similarity.cosine_udf) plus Jaro-Winkler on the normalized names.
+    One UDF invocation per batch instead of six — the ten vector
+    columns and two strings cross the JVM↔Python boundary once, and
+    there is a single Python worker round-trip in the scoring stage."""
+    out: dict[str, pd.Series] = {}
+    for name, a, b in (
+        ("composite_cosine", lc, rc),
+        ("person_cosine", lp, rp),
+        ("title_cosine", lt, rt),
+        ("provision_cosine", lv, rv),
+        ("subjects_cosine", ls, rs),
+    ):
+        vals = np.zeros(len(a), dtype=np.float64)
+        mask = a.notna() & b.notna()
+        if mask.any():
+            av = np.stack(a[mask].to_numpy())
+            bv = np.stack(b[mask].to_numpy())
+            dots = np.einsum("ij,ij->i", av, bv)
+            denom = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+            ok = denom > 0
+            v = np.zeros(len(av))
+            v[ok] = dots[ok] / denom[ok]
+            vals[mask.to_numpy()] = v
+        out[name] = pd.Series(vals)
+    out["person_jaro_winkler"] = pd.Series(
+        [
+            0.0 if (x is None or y is None) else S._jaro_winkler(x, y)
+            for x, y in zip(lname, rname)
+        ],
+        dtype="float64",
+    )
+    return pd.DataFrame(out)
+
+
+def with_all_features(hydrated: DataFrame, fused: bool = True) -> DataFrame:
+    """The full 14+extras feature set. ``fused=True`` (the hot path)
+    computes every Python-side feature — five cosines + Jaro-Winkler —
+    in one Arrow-batched UDF call, then layers the native expressions
+    (levenshtein, harmonics, jaccards, year match) on top; identical
+    values to with_extra_features(with_features(...)) (tested), one
+    JVM↔Python round-trip instead of six."""
+    if not fused:
+        return with_extra_features(with_features(hydrated))
+    # prefer the per-record precomputed inputs from records_wide (one
+    # evaluation per record) over per-pair-side recomputation
+    pre = "l_person_norm" in hydrated.columns and "r_person_norm" in hydrated.columns
+    ln = F.col("l_person_norm") if pre else TX.normalize_name("l_person")
+    rn = F.col("r_person_norm") if pre else TX.normalize_name("r_person")
+    df = hydrated.withColumn(
+        "_fused",
+        _fused_udf(
+            F.col("l_composite_vec"), F.col("r_composite_vec"),
+            F.col("l_person_vec"), F.col("r_person_vec"),
+            F.col("l_title_vec"), F.col("r_title_vec"),
+            F.col("l_provision_vec"), F.col("r_provision_vec"),
+            F.col("l_subjects_vec"), F.col("r_subjects_vec"),
+            ln, rn,
+        ),
+    )
+    for f in EMBED_FIELDS:
+        df = df.withColumn(f"{f}_cosine", F.coalesce(F.col(f"_fused.{f}_cosine"), F.lit(0.0)))
+    df = df.withColumn(
+        "person_jaro_winkler", F.coalesce(F.col("_fused.person_jaro_winkler"), F.lit(0.0))
+    ).drop("_fused")
+    # native-expression features, identical to the unfused path
+    df = df.withColumn("person_levenshtein", S.levenshtein_sim("l_person", "r_person"))
+    for a, b in [
+        ("person", "title"),
+        ("person", "provision"),
+        ("person", "subjects"),
+        ("title", "subjects"),
+        ("title", "provision"),
+        ("provision", "subjects"),
+    ]:
+        df = df.withColumn(
+            f"{a}_{b}_harmonic",
+            S.harmonic_mean(F.col(f"{a}_cosine"), F.col(f"{b}_cosine")),
+        )
+    df = df.withColumn(
+        "person_subjects_product", S.product(F.col("person_cosine"), F.col("subjects_cosine"))
+    )
+    df = df.withColumn(
+        "composite_subjects_ratio",
+        S.safe_ratio(F.col("composite_cosine"), F.col("subjects_cosine")),
+    )
+    if pre:
+        df = df.withColumn(
+            "person_jaccard", S.token_jaccard(F.col("l_person_tokens"), F.col("r_person_tokens"))
+        )
+        df = df.withColumn(
+            "title_jaccard", S.token_jaccard(F.col("l_title_tokens"), F.col("r_title_tokens"))
+        )
+        df = df.withColumn(
+            "subjects_jaccard",
+            S.token_jaccard(F.col("l_subjects_tokens"), F.col("r_subjects_tokens")),
+        )
+        df = df.withColumn(
+            "low_info_name",
+            F.when(
+                (F.col("l_person_informative") < 2) | (F.col("r_person_informative") < 2),
+                1.0,
+            ).otherwise(0.0),
+        )
+    else:
+        df = df.withColumn("person_jaccard", S.token_jaccard(TX.tokens(ln), TX.tokens(rn)))
+        df = df.withColumn(
+            "title_jaccard",
+            S.token_jaccard(
+                TX.tokens(F.lower(F.col("l_title"))), TX.tokens(F.lower(F.col("r_title")))
+            ),
+        )
+        df = df.withColumn(
+            "subjects_jaccard",
+            S.token_jaccard(
+                TX.tokens(F.lower(F.col("l_subjects"))), TX.tokens(F.lower(F.col("r_subjects")))
+            ),
+        )
+
+        def n_informative(col):
+            return F.coalesce(
+                F.regexp_count(TX.normalize_name(col), F.lit(r"[\p{L}]{3,}")), F.lit(0)
+            )
+
+        df = df.withColumn(
+            "low_info_name",
+            F.when(
+                (n_informative("l_person") < 2) | (n_informative("r_person") < 2), 1.0
+            ).otherwise(0.0),
+        )
     if "l_person_years" in df.columns and "r_person_years" in df.columns:
         ly, ry = F.col("l_person_years"), F.col("r_person_years")
         df = df.withColumn(

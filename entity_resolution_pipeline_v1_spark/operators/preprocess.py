@@ -120,6 +120,7 @@ def records_wide(
     broadcasts it under the configured threshold; at 100 TB scale the
     same plan degrades gracefully to a shuffled hash join on `hash`.
     """
+    from ..functions import text as TX
     from ..functions.years import extract_years_udf
 
     long = long_form(records, fields)
@@ -134,8 +135,25 @@ def records_wide(
     vecs = vecs.select(*renames)
     out = records.join(vecs, on="record_id", how="left")
     if "person" in records.columns:
-        # birth/death years extracted ONCE per record (C5's input);
-        # pair scoring reads l_/r_person_years instead of re-running
-        # the regex UDF over every candidate pair side
-        out = out.withColumn("person_years", extract_years_udf(F.col("person")))
+        # pair-feature inputs precomputed ONCE PER RECORD instead of
+        # once per candidate-pair side: birth/death years (the regex
+        # UDF), the normalized name, the token arrays behind the three
+        # Jaccards, and the informative-token count behind the low-info
+        # flag. Candidates outnumber records ~30:1 on the fixtures (far
+        # more at web scale), and without this Catalyst re-evaluates
+        # each regexp/split chain per pair side — measured at ~2/3 of
+        # the whole scoring stage.
+        out = (
+            out.withColumn("person_years", extract_years_udf(F.col("person")))
+            .withColumn("person_norm", TX.normalize_name("person"))
+            .withColumn("person_tokens", TX.tokens(F.col("person_norm")))
+            .withColumn("title_tokens", TX.tokens(F.lower(F.col("title"))))
+            .withColumn("subjects_tokens", TX.tokens(F.lower(F.col("subjects"))))
+            .withColumn(
+                "person_informative",
+                F.coalesce(
+                    F.regexp_count(F.col("person_norm"), F.lit(r"[\p{L}]{3,}")), F.lit(0)
+                ),
+            )
+        )
     return out

@@ -125,9 +125,7 @@ class ERPipeline:
         featured = self._stage(
             "score",
             lambda: features.feature_matrix(
-                features.with_extra_features(
-                    features.with_features(features.hydrate_pairs(cand, wide))
-                ),
+                features.with_all_features(features.hydrate_pairs(cand, wide)),
                 names=ALL_FEATURE_NAMES,
             ),
             resume,
@@ -178,7 +176,7 @@ class ERPipeline:
             F.col("left").alias("id1"), F.col("right").alias("id2"), "match"
         )
         hydrated = features.hydrate_pairs(pair_ids, wide)
-        feat = features.with_extra_features(features.with_features(hydrated)).select(
+        feat = features.with_all_features(hydrated).select(
             *ALL_FEATURE_NAMES, F.col("match").cast("int").alias("y")
         )
         pdf = feat.toPandas()

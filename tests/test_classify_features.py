@@ -76,6 +76,37 @@ def test_extra_features(spark):
     assert 0.8 < out["person_jaro_winkler"] <= 1.0
 
 
+def test_fused_features_match_unfused(spark, corpus):
+    """The single-Arrow-transit fused scorer must produce byte-identical
+    features to the two-step with_extra_features(with_features(...))
+    path over real hydrated pairs."""
+    from entity_resolution_pipeline_v1_spark.operators import (
+        blocking, extract, pairs, preprocess,
+    )
+    from entity_resolution_pipeline_v1_spark.operators.features import ALL_FEATURE_NAMES
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    ext = extract.extract_text(P.pages_view(corpus), mode="main")
+    records = preprocess.parse_records(ext)
+    uniq = preprocess.unique_strings(preprocess.long_form(records))
+    emb = preprocess.embed_unique(uniq, 16)
+    wide = preprocess.records_wide(records, emb)
+    cand = pairs.candidate_pairs(
+        blocking.cap_blocks(blocking.build_blocks(records), 2000)
+    ).limit(200)
+    hydrated = features.hydrate_pairs(cand, wide).cache()
+    cols = ["id1", "id2", *ALL_FEATURE_NAMES]
+    a = features.with_all_features(hydrated, fused=True).select(*cols)
+    b = features.with_all_features(hydrated, fused=False).select(*cols)
+    rows_a = {(r["id1"], r["id2"]): r for r in a.collect()}
+    rows_b = {(r["id1"], r["id2"]): r for r in b.collect()}
+    assert rows_a.keys() == rows_b.keys() and rows_a
+    for k in rows_a:
+        for name in ALL_FEATURE_NAMES:
+            assert rows_a[k][name] == pytest.approx(rows_b[k][name], abs=1e-12), (k, name)
+    hydrated.unpersist()
+
+
 def test_golden_score_expr_matches_numpy(spark):
     model = classify.Model.golden()
     vals = {name: 0.5 + 0.02 * i for i, name in enumerate(FEATURE_NAMES)}
