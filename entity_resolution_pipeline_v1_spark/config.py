@@ -122,6 +122,10 @@ class PipelineConfig:
     # execution
     checkpoint_dir: str = "/tmp/erp_spark_work"
     checkpoint_interval: int = 5  # CC lineage checkpoint cadence
+    # write the report file set (summary/match_pairs/cluster stats/
+    # model params/feature correlation) under <checkpoint_dir>/reports
+    # after the cluster stage (reference src/reporting.py:85-160)
+    generate_reports: bool = False
 
     fields: tuple[str, ...] = field(default_factory=lambda: EMBED_FIELDS)
 

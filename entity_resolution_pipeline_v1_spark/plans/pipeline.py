@@ -48,9 +48,12 @@ class ERPipeline:
         """Config (+ optional model) fingerprint recorded in each stage
         manifest. Resuming the same checkpoint_dir under a different
         config or model invalidates the stale stages instead of
-        silently reusing them. checkpoint_dir itself is excluded —
-        moving the work dir is not a semantic change."""
-        cfg = {k: v for k, v in asdict(self.cfg).items() if k != "checkpoint_dir"}
+        silently reusing them. Execution-only knobs are excluded —
+        moving the work dir, toggling report output, or changing the
+        CC lineage-checkpoint cadence does not change any stage's
+        semantics."""
+        exec_only = {"checkpoint_dir", "generate_reports", "checkpoint_interval"}
+        cfg = {k: v for k, v in asdict(self.cfg).items() if k not in exec_only}
         blob = json.dumps(cfg, sort_keys=True, default=str) + "|" + extra
         return hashlib.md5(blob.encode("utf-8")).hexdigest()
 
@@ -86,15 +89,24 @@ class ERPipeline:
         labeled_pairs: DataFrame | None = None,
         model: classify.Model | None = None,
         resume: bool = True,
+        until: str | None = None,
     ) -> DataFrame:
+        """Run the stage DAG; ``until`` stops after (and returns the
+        output of) the named stage — the reference's --stage semantics
+        (reference main.py:100-178): earlier stages resume from
+        checkpoint, later ones don't run."""
         cfg = self.cfg
 
         extracted = self._stage(
             "extract", lambda: extract.extract_text(pages, mode="main"), resume
         )
+        if until == "extract":
+            return extracted
         records = self._stage(
             "preprocess", lambda: preprocess.parse_records(extracted), resume
         )
+        if until == "preprocess":
+            return records
         uniques = self._stage(
             "unique_strings",
             lambda: preprocess.unique_strings(
@@ -102,12 +114,18 @@ class ERPipeline:
             ),
             resume,
         )
+        if until == "unique_strings":
+            return uniques
         embeddings = self._stage(
             "embed", lambda: preprocess.embed_unique(uniques, cfg.embedding_dim), resume
         )
+        if until == "embed":
+            return embeddings
         wide = self._stage(
             "records_wide", lambda: preprocess.records_wide(records, embeddings), resume
         )
+        if until == "records_wide":
+            return wide
         blocks = self._stage(
             "block",
             lambda: blocking.cap_blocks(
@@ -121,7 +139,11 @@ class ERPipeline:
             ),
             resume,
         )
+        if until == "block":
+            return blocks
         cand = self._stage("pairs", lambda: pairs.candidate_pairs(blocks), resume)
+        if until == "pairs":
+            return cand
         featured = self._stage(
             "score",
             lambda: features.feature_matrix(
@@ -130,6 +152,8 @@ class ERPipeline:
             ),
             resume,
         )
+        if until == "score":
+            return featured
 
         # -- model: train on labels if given, else golden weights ----------
         if model is not None:
@@ -147,6 +171,8 @@ class ERPipeline:
             resume,
             extra_fp=self._model_fp(),
         )
+        if until == "classify":
+            return edges
         deduped = pairs.dedup_scored_pairs(edges, "id1", "id2", "confidence")
         labels = self._stage(
             "cluster",
@@ -163,6 +189,22 @@ class ERPipeline:
             resume,
             extra_fp=self._model_fp(),  # cluster input is classify output
         )
+        if cfg.generate_reports:
+            from .. import reports
+
+            reports.write_reports(
+                cfg.checkpoint_dir,
+                deduped,
+                labels,
+                model=self.model,
+                featured=featured,
+                feature_names=ALL_FEATURE_NAMES,
+                stage_summary=[
+                    {"name": r.name, "rows": r.rows, "wall_sec": round(r.wall_sec, 3),
+                     "skipped": r.skipped}
+                    for r in self.results
+                ],
+            )
         return labels
 
     # -- training path ------------------------------------------------------

@@ -1,0 +1,192 @@
+"""Reporting layer: the file outputs users of the reference read daily.
+
+Mirrors the reference's report suite (reference src/reporting.py:85-160
+summary + detailed reports, src/analysis.py:1271-1384 cluster/entity
+statistics, src/classification.py:148-155 feature correlation) on
+Spark terms: every aggregate is computed distributed as a DataFrame —
+one agg pass each — and only the tiny aggregate results land on the
+driver for the JSON/CSV files. The one potentially-large artifact
+(match_pairs) is written as a distributed CSV directory, never
+collect()ed.
+
+Layout under <work_dir>/reports:
+    summary_report.json            run-level counts + stage walls
+    match_pairs.csv/               (id1, id2, confidence) distributed CSV
+    confidence_histogram.csv       20 fixed bins (reporting.py:350-414)
+    cluster_statistics.json        size min/max/mean/median/std
+    cluster_size_distribution.csv  (size, n_clusters)
+    matches_per_entity.csv         per-entity match-count stats (A7)
+    model_parameters.json          weights/bias/threshold (+train stats)
+    model_weights.csv              (feature, weight) rows
+    feature_correlation.csv        (f1, f2, corr) upper triangle (A12)
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.classify import Model
+
+
+def _ensure(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# -- distributed aggregates -------------------------------------------------
+
+def confidence_histogram(scored: DataFrame, bins: int = 20,
+                         conf_col: str = "confidence") -> DataFrame:
+    """(bin, n) over fixed-width bins (reference reporting.py:383-395)."""
+    b = F.least(F.floor(F.col(conf_col) * bins), F.lit(bins - 1)).cast("int")
+    return scored.select(b.alias("bin")).groupBy("bin").count().withColumnRenamed("count", "n")
+
+
+def cluster_size_distribution(labels: DataFrame) -> DataFrame:
+    """(size, n_clusters) (reference reporting.py:458-469)."""
+    sizes = labels.groupBy("cluster_id").count().withColumnRenamed("count", "size")
+    return sizes.groupBy("size").count().withColumnRenamed("count", "n_clusters")
+
+
+def cluster_statistics(labels: DataFrame) -> dict:
+    """Cluster size stats as one distributed agg row
+    (reference reporting.py:471-486, analysis.py:1271-1384)."""
+    sizes = labels.groupBy("cluster_id").count().withColumnRenamed("count", "size")
+    row = sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("size").alias("n_records"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("mean_size"),
+        F.expr("percentile(size, 0.5)").alias("median_size"),
+        F.stddev("size").alias("std_size"),
+    ).collect()[0]
+    return {k: (float(v) if v is not None else None) for k, v in row.asDict().items()}
+
+
+def matches_per_entity(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+    """(record_id, n_matches): how many accepted match edges touch each
+    entity (A7, reference analysis.py 'most connected entities')."""
+    both = pairs.select(F.col(id1).alias("record_id")).unionAll(
+        pairs.select(F.col(id2).alias("record_id"))
+    )
+    return both.groupBy("record_id").count().withColumnRenamed("count", "n_matches")
+
+
+def matches_per_entity_stats(pairs: DataFrame) -> dict:
+    row = matches_per_entity(pairs).agg(
+        F.count("*").alias("n_entities"),
+        F.min("n_matches").alias("min_matches"),
+        F.max("n_matches").alias("max_matches"),
+        F.avg("n_matches").alias("mean_matches"),
+    ).collect()[0]
+    return {k: (float(v) if v is not None else None) for k, v in row.asDict().items()}
+
+
+def feature_correlation(featured: DataFrame, names: tuple[str, ...]) -> DataFrame:
+    """Pearson correlation for every feature pair i<j, computed in ONE
+    distributed agg pass (k*(k-1)/2 F.corr aggregates map-side-combined
+    together), then unpivoted to (f1, f2, corr) rows. The Spark-native
+    form of the reference's np.corrcoef over test features
+    (src/classification.py:148-155)."""
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    aggs = [F.corr(a, b).alias(f"{a}|{b}") for a, b in pairs]
+    row = featured.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs)
+    return row.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) as (f1, f2, corr)")
+    )
+
+
+# -- file writers -------------------------------------------------------------
+
+def write_model_parameters(model: Model, reports_dir: str) -> None:
+    """model_parameters.json + model_weights.csv (reference
+    src/reporting.py:517-546; format of output/detailed/model_parameters.json)."""
+    with open(os.path.join(reports_dir, "model_parameters.json"), "w") as fh:
+        json.dump(
+            {
+                "bias": model.bias,
+                "weights": model.weights,
+                "threshold": model.threshold,
+                "feature_min": model.feature_min,
+                "feature_range": model.feature_range,
+            },
+            fh,
+            indent=2,
+        )
+    with open(os.path.join(reports_dir, "model_weights.csv"), "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["feature", "weight"])
+        for name, weight in model.weights.items():
+            w.writerow([name, weight])
+
+
+def _write_small_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV for a SMALL aggregate (collected; caller
+    guarantees boundedness — histograms, distributions, correlations)."""
+    rows = df.collect()
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(df.columns)
+        for r in rows:
+            w.writerow([r[c] for c in df.columns])
+
+
+def write_reports(
+    work_dir: str,
+    scored_pairs: DataFrame,
+    labels: DataFrame,
+    model: Model | None = None,
+    featured: DataFrame | None = None,
+    feature_names: tuple[str, ...] | None = None,
+    stage_summary: list[dict] | None = None,
+) -> str:
+    """Write the full report set; returns the reports directory."""
+    rd = _ensure(os.path.join(work_dir, "reports"))
+
+    # match_pairs: potentially huge -> distributed CSV, never collected
+    scored_pairs.select("id1", "id2", "confidence").write.mode("overwrite").option(
+        "header", True
+    ).csv(os.path.join(rd, "match_pairs.csv"))
+
+    _write_small_csv(
+        confidence_histogram(scored_pairs).orderBy("bin"),
+        os.path.join(rd, "confidence_histogram.csv"),
+    )
+    _write_small_csv(
+        cluster_size_distribution(labels).orderBy("size"),
+        os.path.join(rd, "cluster_size_distribution.csv"),
+    )
+    cstats = cluster_statistics(labels)
+    with open(os.path.join(rd, "cluster_statistics.json"), "w") as fh:
+        json.dump(cstats, fh, indent=2)
+    _write_small_csv(
+        matches_per_entity(scored_pairs.filter(F.col("confidence").isNotNull()))
+        .orderBy(F.desc("n_matches"), "record_id")
+        .limit(1000),
+        os.path.join(rd, "matches_per_entity.csv"),
+    )
+    summary = {
+        "n_match_pairs": scored_pairs.count(),
+        "cluster_statistics": cstats,
+        "matches_per_entity": matches_per_entity_stats(scored_pairs),
+        "stages": stage_summary or [],
+    }
+    if model is not None:
+        write_model_parameters(model, rd)
+        summary["model_bias"] = model.bias
+        summary["model_threshold"] = model.threshold
+    if featured is not None and feature_names:
+        _write_small_csv(
+            feature_correlation(featured, tuple(feature_names)),
+            os.path.join(rd, "feature_correlation.csv"),
+        )
+    with open(os.path.join(rd, "summary_report.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return rd

@@ -1,0 +1,112 @@
+"""CLI entry point (reference main.py:100-178 semantics) + reporting
+layer (reference src/reporting.py:85-160, src/classification.py:148-155)."""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_v1_spark import reports
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(*args):
+    proc = subprocess.run(
+        [sys.executable, "-m", "entity_resolution_pipeline_v1_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("cli_work"))
+    out = _run_cli("--records", "120", "--work-dir", work, "--reset",
+                   "--reports", "--cpus", "4")
+    return work, out
+
+
+def test_cli_fresh_run_and_resume(cli_run):
+    cli_work, out = cli_run
+    assert out["stage"] == "all" and out["rows"] > 0
+    assert [s["name"] for s in out["stages"]] == [
+        "extract", "preprocess", "unique_strings", "embed", "records_wide",
+        "block", "pairs", "score", "classify", "cluster",
+    ]
+    assert not any(s["skipped"] for s in out["stages"])
+    # resume: identical invocation skips every stage
+    out2 = _run_cli("--records", "120", "--work-dir", cli_work, "--cpus", "4")
+    assert all(s["skipped"] for s in out2["stages"])
+    assert out2["rows"] == out["rows"]
+    # single-stage run stops early (uses the checkpoints)
+    out3 = _run_cli("--records", "120", "--work-dir", cli_work, "--cpus", "4",
+                    "--stage", "block")
+    assert [s["name"] for s in out3["stages"]][-1] == "block"
+    # report files exist
+    rd = os.path.join(cli_work, "reports")
+    for f in ["summary_report.json", "cluster_statistics.json",
+              "confidence_histogram.csv", "cluster_size_distribution.csv",
+              "model_parameters.json", "model_weights.csv",
+              "feature_correlation.csv", "matches_per_entity.csv"]:
+        assert os.path.exists(os.path.join(rd, f)), f
+    assert os.path.isdir(os.path.join(rd, "match_pairs.csv"))
+
+
+def test_cluster_statistics_against_duckdb(cli_run, spark):
+    """The reported aggregates must equal a DuckDB recomputation over
+    the same stage parquet."""
+    cli_work, _ = cli_run
+    stats = json.load(open(os.path.join(cli_work, "reports", "cluster_statistics.json")))
+    con = duckdb.connect()
+    row = con.execute(
+        f"""SELECT count(*) n_clusters, sum(sz) n_records,
+                   min(sz) min_size, max(sz) max_size, avg(sz) mean_size,
+                   quantile_cont(sz, 0.5) median_size, stddev(sz) std_size
+            FROM (SELECT cluster_id, count(*) sz
+                  FROM read_parquet('{cli_work}/stage=cluster/*.parquet')
+                  GROUP BY cluster_id)"""
+    ).fetchone()
+    assert stats["n_clusters"] == row[0]
+    assert stats["n_records"] == row[1]
+    assert stats["min_size"] == row[2] and stats["max_size"] == row[3]
+    assert stats["mean_size"] == pytest.approx(row[4])
+    assert stats["median_size"] == pytest.approx(row[5])
+    assert stats["std_size"] == pytest.approx(row[6], rel=1e-9)
+
+
+def test_feature_correlation_against_duckdb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.rand(200, 3)
+    X[:, 2] = X[:, 0] * 0.8 + rng.rand(200) * 0.2
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) for r in X], "a double, b double, c double"
+    )
+    out = {(r["f1"], r["f2"]): r["corr"]
+           for r in reports.feature_correlation(df, ("a", "b", "c")).collect()}
+    ref = np.corrcoef(X, rowvar=False)
+    assert out[("a", "b")] == pytest.approx(ref[0, 1], abs=1e-9)
+    assert out[("a", "c")] == pytest.approx(ref[0, 2], abs=1e-9)
+    assert out[("b", "c")] == pytest.approx(ref[1, 2], abs=1e-9)
+    assert out[("a", "c")] > 0.7
+
+
+def test_matches_per_entity(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.8), ("b", "c", 0.85)],
+        "id1 string, id2 string, confidence double",
+    )
+    got = {r["record_id"]: r["n_matches"]
+           for r in reports.matches_per_entity(pairs).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    stats = reports.matches_per_entity_stats(pairs)
+    assert stats["n_entities"] == 3 and stats["mean_matches"] == pytest.approx(2.0)
