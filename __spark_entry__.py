@@ -346,6 +346,212 @@ def _q_minhash_near_dup(spark, sf_dir):
     )
 
 
+# -- deterministic edges fixture shared by the CC query + oracle -----------
+
+def _cc_edges(spark, sf_dir):
+    """Chains + chords over doc_ids: (d, d+1) for d%3==0 and (d, d+5)
+    for d%10==0, endpoints restricted to existing docs via self-join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    e1 = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 3 == 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    e2 = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 5)
+        .filter(F.col("a.doc_id") % 10 == 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return e1.unionByName(e2)
+
+
+def _q_connected_components(spark, sf_dir):
+    # G2: large-star/small-star CC (reference src/clustering.py:95-105)
+    # over a deterministic edges fixture; oracle = DuckDB recursive
+    # min-label propagation
+    from entity_resolution_pipeline_v1_spark.operators.cluster import connected_components
+
+    return connected_components(_cc_edges(spark, sf_dir)).select(
+        "record_id", "cluster_id"
+    )
+
+
+def _year_strings(spark, sf_dir):
+    """Deterministic person strings covering all ten reference
+    birth/death formats (reference tests/birth_death_year_regexes.py),
+    built identically in Spark and in the DuckDB oracle from doc_id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    y1 = (F.lit(1500) + F.col("doc_id") % 400).cast("string")
+    y1n = F.lit(1500) + F.col("doc_id") % 400
+    y2 = (y1n + 60).cast("string")
+    ys1 = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(y1, F.lit("?")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(y1, F.lit(" or "), (y1n + 1).cast("string")))
+        .otherwise(y1)
+    )
+    ys2 = F.when(F.col("doc_id") % 11 == 0, F.concat(y2, F.lit("?"))).otherwise(y2)
+    k = F.col("doc_id") % 12
+    person = (
+        F.when(k == 0, F.concat(F.lit("Smith, John, "), ys1, F.lit(" - approximately "), ys2))
+        .when(k == 1, F.concat(F.lit("approximately "), ys1, F.lit("-approximately "), ys2))
+        .when(k == 2, F.concat(F.lit("circa "), ys1, F.lit(" - "), ys2))
+        .when(k == 3, F.concat(F.lit("Doe, Jane, "), ys1, F.lit("-"), ys2))
+        .when(k == 4, F.concat(F.lit("Roe, R., - approximately "), ys2))
+        .when(k == 5, F.concat(F.lit("Roe, R., -"), ys2))
+        .when(k == 6, F.concat(F.lit("approximately "), ys1, F.lit("-")))
+        .when(k == 7, F.concat(F.lit("Lee, Ann, "), ys1, F.lit("-")))
+        .when(k == 8, F.concat(F.lit("b. "), ys1))
+        .when(k == 9, F.concat(F.lit("died "), ys2))
+        .when(k == 10, F.concat(F.lit("approximately "), ys1))
+        .otherwise(F.lit("Nodates, Person"))
+    )
+    return d.select("doc_id", person.alias("person"))
+
+
+def _q_year_cascade(spark, sf_dir):
+    # F6: the full 10-pattern first-match-wins cascade through the
+    # Arrow-batched UDF (reference src/features.py:56-90, 378-402),
+    # including the ' or '/'?' cleanup and the single-group death-only
+    # dispatch quirk
+    from entity_resolution_pipeline_v1_spark.functions.years import extract_years_udf
+
+    s = _year_strings(spark, sf_dir)
+    return s.withColumn("_y", extract_years_udf("person")).select(
+        "doc_id", "person", F.col("_y.birth").alias("birth"), F.col("_y.death").alias("death")
+    )
+
+
+def _q_jaro_winkler_pairs(spark, sf_dir):
+    # F11 via the Arrow-batched pandas UDF; oracle is DuckDB's native
+    # jaro_winkler_similarity (same 0.7 boost threshold, verified)
+    from entity_resolution_pipeline_v1_spark.functions.similarity import jaro_winkler_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 20).alias("head")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") % 5 == 0)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jaro_winkler_udf(F.col("a.head"), F.col("b.head")), 4).alias("jw"),
+        )
+    )
+
+
+def _q_cosine_topk_udf(spark, sf_dir):
+    # the pandas-UDF cosine path (features hot path) against the same
+    # oracle as the expression variant
+    from entity_resolution_pipeline_v1_spark.functions.similarity import cosine_udf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine_udf(F.col("_qv"), F.col("_cv")))
+        .filter(F.col("query_id").cast("string") != F.col("neighbor_id").cast("string"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def _q_knn_impute(spark, sf_dir):
+    # §2.11 vector hot-deck imputation (reference src/imputation.py:
+    # 200-265) through the shuffled IVF cell join with nprobe=ALL
+    # (exact): donors = vec_id%10!=0, queries = vec_id%10==0
+    from entity_resolution_pipeline_v1_spark.operators.impute import impute_field
+
+    e = _t(spark, sf_dir, "embeddings")
+    rw = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("record_id"),
+        F.lit(None).cast("string").alias("provision"),
+        F.col("embedding").alias("composite_vec"),
+    )
+    ue = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").cast("string").alias("hash"),
+        F.lit("provision").alias("field"),
+        F.col("label").cast("string").alias("value"),
+        F.col("embedding").alias("vector"),
+    )
+    out = impute_field(rw, ue, "provision", k=10, min_similarity=0.3, n_centroids=8)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("imputed_vector"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return out.select("record_id", "imputed_value", F.round(norm, 4).alias("imputed_norm"))
+
+
+def _q_media_meta(spark, sf_dir):
+    # multimodal plumbing that is REAL today: binary payload column,
+    # native metadata (byte length + md5 content id), content-id exact
+    # dedup groups
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import attach_media_meta
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    m = attach_media_meta(media)
+    return m.groupBy("content_id").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").alias("dup_count"),
+        F.min("payload_bytes").alias("payload_bytes"),
+    )
+
+
+def _q_matches_per_entity(spark, sf_dir):
+    # A7: match edges touching each entity (reference analysis.py
+    # 'most connected entities')
+    from entity_resolution_pipeline_v1_spark import reports
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.least("l_partkey", "l_suppkey").alias("id1"),
+        F.greatest("l_partkey", "l_suppkey").alias("id2"),
+    ).distinct()
+    return reports.matches_per_entity(pairs)
+
+
+def _q_feature_corr(spark, sf_dir):
+    # A12: pairwise Pearson correlation matrix in one agg pass
+    # (reference src/classification.py:148-155 np.corrcoef)
+    from entity_resolution_pipeline_v1_spark import reports
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = reports.feature_correlation(
+        li, ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    return out.select("f1", "f2", F.round("corr", 4).alias("pearson"))
+
+
+def _q_cluster_stats(spark, sf_dir):
+    # A6 extended: cluster-size statistics row (reference
+    # reporting.py:471-486) over orders-per-customer as the cluster set
+    from entity_resolution_pipeline_v1_spark import reports
+
+    o = _t(spark, sf_dir, "orders")
+    labels = o.select(F.col("o_custkey").alias("cluster_id"), F.col("o_orderkey").alias("record_id"))
+    s = reports.cluster_statistics_df(labels)
+    return s.select(
+        "n_clusters", "n_records", "min_size", "max_size",
+        F.round("mean_size", 4).alias("mean_size"),
+        F.round("median_size", 4).alias("median_size"),
+        F.round("std_size", 4).alias("std_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_agg": _q_tpch_q1,
@@ -372,6 +578,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "year_extract": _q_year_extract,
         "simhash_docs": _q_simhash_docs,
         "minhash_near_dup": _q_minhash_near_dup,
+        "connected_components": _q_connected_components,
+        "year_cascade": _q_year_cascade,
+        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
+        "cosine_topk_udf": _q_cosine_topk_udf,
+        "knn_impute": _q_knn_impute,
+        "media_meta": _q_media_meta,
+        "matches_per_entity": _q_matches_per_entity,
+        "feature_corr": _q_feature_corr,
+        "cluster_stats": _q_cluster_stats,
     }
 
 
@@ -380,6 +595,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _EN_SW = "'the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by','an','be','this','are','from','or','which','you','not','have','has','had','but','his','her','they','we','their'"
+
+# -- year-cascade oracle: the ten reference patterns in RE2/DuckDB form ----
+_OY = r"(\d{2,4}(?:\?|\s+or\s+\d{1,4})?)"
+_OAP = r"(?:approximately|ca\.|circa)"
+_ODH = "[-–—]"
+_OPATS = [
+    (f"{_OY}\\s*{_ODH}\\s*{_OAP}\\s+{_OY}", "bd"),                      # 1
+    (f"{_OAP}\\s+{_OY}\\s*{_ODH}\\s*{_OAP}\\s+{_OY}", "bd"),            # 2
+    (f"{_OAP}\\s+{_OY}\\s*{_ODH}\\s*{_OY}", "bd"),                      # 3
+    (f"{_OY}\\s*{_ODH}\\s*{_OY}", "bd"),                                # 4
+    (f"{_ODH}\\s*{_OAP}\\s+{_OY}", "d"),                                # 5
+    (f"{_ODH}\\s*{_OY}", "d"),                                          # 6
+    (f"{_OAP}\\s+{_OY}\\s*{_ODH}", "d"),                                # 7 (ref quirk)
+    (f"{_OY}\\s*{_ODH}", "d"),                                          # 8 (ref quirk)
+    (
+        f"(?:b\\.|born)\\s+(?:{_OAP}\\s+)?{_OY}|(?:d\\.|died)\\s+(?:{_OAP}\\s+)?{_OY}",
+        "b_or_d",
+    ),                                                                   # 9
+    (f"{_OAP}\\s+{_OY}", "d"),                                          # 10 (ref quirk)
+]
+
+
+def _oclean(expr: str) -> str:
+    """clean_year in SQL: take before ' or ', strip trailing '?',
+    NULL out empties."""
+    return f"NULLIF(rtrim(split_part({expr}, ' or ', 1), '?'), '')"
+
+
+def _year_cascade_oracle() -> str:
+    birth_whens, death_whens = [], []
+    for pat, kind in _OPATS:
+        m = f"regexp_matches(person, '{pat}')"
+        g1 = f"regexp_extract(person, '{pat}', 1)"
+        g2 = f"regexp_extract(person, '{pat}', 2)"
+        if kind == "bd":
+            birth_whens.append(f"WHEN {m} THEN {_oclean(g1)}")
+            death_whens.append(f"WHEN {m} THEN {_oclean(g2)}")
+        elif kind == "d":
+            birth_whens.append(f"WHEN {m} THEN NULL")
+            death_whens.append(f"WHEN {m} THEN {_oclean(g1)}")
+        else:  # b_or_d: group 1 birth, group 2 death, one of them empty
+            birth_whens.append(f"WHEN {m} THEN {_oclean(g1)}")
+            death_whens.append(f"WHEN {m} THEN {_oclean(g2)}")
+    birth_case = "CASE " + " ".join(birth_whens) + " ELSE NULL END"
+    death_case = "CASE " + " ".join(death_whens) + " ELSE NULL END"
+    return f"""
+        WITH y AS (
+            SELECT doc_id, 1500 + doc_id % 400 AS y1i, 1560 + doc_id % 400 AS y2i
+            FROM documents
+        ), ys AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN CAST(y1i AS VARCHAR) || '?'
+                     WHEN doc_id % 7 = 0 THEN CAST(y1i AS VARCHAR) || ' or ' || CAST(y1i + 1 AS VARCHAR)
+                     ELSE CAST(y1i AS VARCHAR) END AS ys1,
+                CASE WHEN doc_id % 11 = 0 THEN CAST(y2i AS VARCHAR) || '?'
+                     ELSE CAST(y2i AS VARCHAR) END AS ys2
+            FROM y
+        ), s AS (
+            SELECT doc_id,
+                CASE doc_id % 12
+                    WHEN 0 THEN 'Smith, John, ' || ys1 || ' - approximately ' || ys2
+                    WHEN 1 THEN 'approximately ' || ys1 || '-approximately ' || ys2
+                    WHEN 2 THEN 'circa ' || ys1 || ' - ' || ys2
+                    WHEN 3 THEN 'Doe, Jane, ' || ys1 || '-' || ys2
+                    WHEN 4 THEN 'Roe, R., - approximately ' || ys2
+                    WHEN 5 THEN 'Roe, R., -' || ys2
+                    WHEN 6 THEN 'approximately ' || ys1 || '-'
+                    WHEN 7 THEN 'Lee, Ann, ' || ys1 || '-'
+                    WHEN 8 THEN 'b. ' || ys1
+                    WHEN 9 THEN 'died ' || ys2
+                    WHEN 10 THEN 'approximately ' || ys1
+                    ELSE 'Nodates, Person'
+                END AS person
+            FROM ys
+        )
+        SELECT doc_id, person, {birth_case} AS birth, {death_case} AS death FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -591,4 +883,119 @@ def oracle_sql() -> dict[str, str]:
         # simhash_docs / minhash_near_dup: deliberately no oracle —
         # xxhash64/md5-bit sketches aren't expressible in DuckDB SQL;
         # driver records rows-only checks.
+        "connected_components": """
+            WITH RECURSIVE e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 3 = 0
+                UNION ALL
+                SELECT a.doc_id, b.doc_id
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 5
+                WHERE a.doc_id % 10 = 0
+            ),
+            bi AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+            walk(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM bi)
+                UNION
+                SELECT bi.v, walk.lbl FROM walk JOIN bi ON walk.u = bi.u
+            )
+            SELECT u AS record_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+        """,
+        "year_cascade": _year_cascade_oracle(),
+        "jaro_winkler_pairs": """
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(CASE
+                       WHEN a.text IS NULL OR b.text IS NULL THEN 0.0
+                       WHEN substr(a.text,1,20) = substr(b.text,1,20) THEN 1.0
+                       ELSE jaro_winkler_similarity(substr(a.text,1,20), substr(b.text,1,20))
+                   END, 4) AS jw
+            FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+            WHERE a.doc_id % 5 = 0
+        """,
+        "cosine_topk_udf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                FROM q, embeddings e
+                WHERE CAST(q.query_id AS VARCHAR) <> CAST(e.vec_id AS VARCHAR)
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "knn_impute": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id % 10 = 0),
+            d AS (SELECT vec_id AS did, CAST(label AS VARCHAR) AS val,
+                         embedding::DOUBLE[] AS dv
+                  FROM embeddings WHERE vec_id % 10 <> 0),
+            scored AS (
+                SELECT q.qid, d.did, d.val, d.dv,
+                       list_cosine_similarity(q.qv, d.dv) AS cos
+                FROM q, d
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, CAST(did AS VARCHAR)) AS rnk
+                FROM scored
+            ),
+            weighted AS (
+                SELECT qid, did, val, dv, rnk, cos * power(0.9, rnk - 1) AS w
+                FROM ranked WHERE rnk <= 10 AND cos >= 0.3
+            ),
+            nearest AS (
+                SELECT qid, val FROM (
+                    SELECT qid, val,
+                           row_number() OVER (PARTITION BY qid ORDER BY rnk) AS rr
+                    FROM weighted
+                ) WHERE rr = 1
+            ),
+            per_dim AS (
+                SELECT qid, pos, sum(dv[pos] * w) / sum(w) AS mean_val
+                FROM weighted CROSS JOIN range(1, 65) t(pos)
+                WHERE pos <= len(dv)
+                GROUP BY qid, pos
+            ),
+            vecs AS (
+                SELECT qid,
+                       sqrt(sum((mean_val::REAL)::DOUBLE * (mean_val::REAL)::DOUBLE)) AS nrm
+                FROM per_dim GROUP BY qid
+            )
+            SELECT n.qid AS record_id, n.val AS imputed_value,
+                   round(v.nrm, 4) AS imputed_norm
+            FROM nearest n LEFT JOIN vecs v ON n.qid = v.qid
+        """,
+        "media_meta": """
+            SELECT md5(text) AS content_id, min(doc_id) AS canonical_id,
+                   count(*) AS dup_count,
+                   CAST(min(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+            FROM documents GROUP BY md5(text)
+        """,
+        "matches_per_entity": """
+            WITH p AS (SELECT DISTINCT least(l_partkey, l_suppkey) AS id1,
+                              greatest(l_partkey, l_suppkey) AS id2
+                       FROM lineitem),
+            b AS (SELECT id1 AS record_id FROM p UNION ALL SELECT id2 FROM p)
+            SELECT record_id, count(*) AS n_matches FROM b GROUP BY record_id
+        """,
+        "feature_corr": """
+            SELECT 'l_quantity' AS f1, 'l_extendedprice' AS f2, round(corr(l_quantity, l_extendedprice), 4) AS pearson FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+            UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+        """,
+        "cluster_stats": """
+            SELECT count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_records,
+                   min(sz) AS min_size, max(sz) AS max_size,
+                   round(avg(sz), 4) AS mean_size,
+                   round(quantile_cont(sz, 0.5), 4) AS median_size,
+                   round(stddev(sz), 4) AS std_size
+            FROM (SELECT o_custkey, count(*) AS sz FROM orders GROUP BY o_custkey)
+        """,
     }

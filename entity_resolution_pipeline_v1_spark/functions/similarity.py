@@ -102,8 +102,10 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     out = np.zeros(len(a), dtype=np.float64)
     mask = a.notna() & b.notna()
     if mask.any():
-        av = np.stack(a[mask].to_numpy())
-        bv = np.stack(b[mask].to_numpy())
+        # accumulate in float64 so the UDF and the expression variant
+        # (which casts to double element-wise) agree to ~1e-12
+        av = np.stack(a[mask].to_numpy()).astype(np.float64)
+        bv = np.stack(b[mask].to_numpy()).astype(np.float64)
         dots = np.einsum("ij,ij->i", av, bv)
         na = np.linalg.norm(av, axis=1)
         nb = np.linalg.norm(bv, axis=1)

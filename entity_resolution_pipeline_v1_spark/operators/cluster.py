@@ -102,6 +102,14 @@ def connected_components(
     )
 
 
+def position_in_cluster(labels: DataFrame) -> DataFrame:
+    """W4: deterministic 1-based member position within each cluster
+    (window partitioned BY CLUSTER — parallel across clusters, ordered
+    by record_id; reference src/clustering.py cluster member ordering)."""
+    w = Window.partitionBy("cluster_id").orderBy("record_id")
+    return labels.withColumn("position", F.row_number().over(w))
+
+
 def filter_and_relabel(
     labels: DataFrame,
     min_cluster_size: int = 2,

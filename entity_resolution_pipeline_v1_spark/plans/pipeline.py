@@ -147,7 +147,9 @@ class ERPipeline:
         featured = self._stage(
             "score",
             lambda: features.feature_matrix(
-                features.with_all_features(features.hydrate_pairs(cand, wide)),
+                features.with_all_features(
+                    features.hydrate_pairs(cand, wide), dim=cfg.embedding_dim
+                ),
                 names=ALL_FEATURE_NAMES,
             ),
             resume,
@@ -218,7 +220,7 @@ class ERPipeline:
             F.col("left").alias("id1"), F.col("right").alias("id2"), "match"
         )
         hydrated = features.hydrate_pairs(pair_ids, wide)
-        feat = features.with_all_features(hydrated).select(
+        feat = features.with_all_features(hydrated, dim=self.cfg.embedding_dim).select(
             *ALL_FEATURE_NAMES, F.col("match").cast("int").alias("y")
         )
         pdf = feat.toPandas()

@@ -53,11 +53,11 @@ def cluster_size_distribution(labels: DataFrame) -> DataFrame:
     return sizes.groupBy("size").count().withColumnRenamed("count", "n_clusters")
 
 
-def cluster_statistics(labels: DataFrame) -> dict:
-    """Cluster size stats as one distributed agg row
+def cluster_statistics_df(labels: DataFrame) -> DataFrame:
+    """One-row DataFrame of cluster size stats
     (reference reporting.py:471-486, analysis.py:1271-1384)."""
     sizes = labels.groupBy("cluster_id").count().withColumnRenamed("count", "size")
-    row = sizes.agg(
+    return sizes.agg(
         F.count("*").alias("n_clusters"),
         F.sum("size").alias("n_records"),
         F.min("size").alias("min_size"),
@@ -65,7 +65,11 @@ def cluster_statistics(labels: DataFrame) -> dict:
         F.avg("size").alias("mean_size"),
         F.expr("percentile(size, 0.5)").alias("median_size"),
         F.stddev("size").alias("std_size"),
-    ).collect()[0]
+    )
+
+
+def cluster_statistics(labels: DataFrame) -> dict:
+    row = cluster_statistics_df(labels).collect()[0]
     return {k: (float(v) if v is not None else None) for k, v in row.asDict().items()}
 
 
@@ -86,6 +90,30 @@ def matches_per_entity_stats(pairs: DataFrame) -> dict:
         F.avg("n_matches").alias("mean_matches"),
     ).collect()[0]
     return {k: (float(v) if v is not None else None) for k, v in row.asDict().items()}
+
+
+def feature_means(
+    featured: DataFrame, names: tuple[str, ...], label_col: str = "is_match"
+) -> DataFrame:
+    """A11: per-feature means split by match label, one distributed agg
+    (reference src/analysis.py feature statistics of true matches).
+    Output: (feature, mean_match, mean_non_match)."""
+    agg = featured.groupBy(F.col(label_col).cast("boolean").alias("_m")).agg(
+        *[F.avg(n).alias(n) for n in names]
+    )
+    rows = {r["_m"]: r for r in agg.collect()}
+    spark = featured.sparkSession
+    data = [
+        (
+            n,
+            float(rows[True][n]) if True in rows and rows[True][n] is not None else None,
+            float(rows[False][n]) if False in rows and rows[False][n] is not None else None,
+        )
+        for n in names
+    ]
+    return spark.createDataFrame(
+        data, "feature string, mean_match double, mean_non_match double"
+    )
 
 
 def feature_correlation(featured: DataFrame, names: tuple[str, ...]) -> DataFrame:
@@ -186,6 +214,16 @@ def write_reports(
         _write_small_csv(
             feature_correlation(featured, tuple(feature_names)),
             os.path.join(rd, "feature_correlation.csv"),
+        )
+        # A11: feature means of accepted matches vs the rest
+        flagged = featured.join(
+            scored_pairs.select("id1", "id2").withColumn("is_match", F.lit(True)),
+            on=["id1", "id2"],
+            how="left",
+        ).withColumn("is_match", F.coalesce(F.col("is_match"), F.lit(False)))
+        _write_small_csv(
+            feature_means(flagged, tuple(feature_names)),
+            os.path.join(rd, "feature_means.csv"),
         )
     with open(os.path.join(rd, "summary_report.json"), "w") as fh:
         json.dump(summary, fh, indent=2)

@@ -31,6 +31,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # CRITICAL for the pandas-UDF hot path: every Spark task gets its
+    # own Python worker, and numpy's BLAS would otherwise spawn a FULL
+    # set of threads PER WORKER (cores² threads total). Measured here:
+    # the 2.5M-pair scoring stage runs 163s at local[32] with default
+    # BLAS threading vs 38s pinned to 1 thread per worker. Parallelism
+    # belongs to Spark's task scheduler, not to BLAS.
+    for var in (
+        "OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -46,6 +58,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/spill space: RAM-backed by default on this RAM-rich
+        # single node (the local analogue of the NVMe scratch a real
+        # cluster provisions per executor) — the root disk writes at
+        # ~370 MB/s and would serialize vector-fat shuffles
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
+        # same single-threaded-BLAS discipline on real cluster executors
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

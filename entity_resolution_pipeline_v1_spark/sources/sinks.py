@@ -108,6 +108,75 @@ def record_metrics(df: DataFrame, work_dir: str, stage: str, wall_sec: float | N
     per_part.unionByName(summary).write.mode("append").parquet(metrics_dir)
 
 
+def idempotent_upsert(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """S6: idempotent keyed upsert onto a parquet table, the engine
+    analogue of the reference's deterministic-UUID upsert
+    (reference src/indexing.py:154-169).
+
+    Rows land in `bucket=pmod(xxhash64(key), num_buckets)` partitions.
+    Only the buckets PRESENT IN THE BATCH are rewritten: existing rows
+    of those buckets are read back, rows whose key appears in the new
+    batch are dropped (new wins), and the merged bucket is overwritten
+    via dynamic partition overwrite — untouched buckets' files are
+    never rewritten. Re-running the same batch is a no-op by value:
+    same keys -> same buckets -> same merged content. This is the
+    MERGE-by-key discipline expressible on plain parquet; on Iceberg
+    or Delta the same call maps to a native MERGE INTO."""
+    spark = df.sparkSession
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    batch = df.withColumn("bucket", bucket)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        touched = batch.select("bucket").distinct()
+        keep = (
+            existing.join(F.broadcast(touched), on="bucket", how="left_semi")
+            .join(batch.select(key_col).distinct(), on=key_col, how="left_anti")
+        )
+        # materialize before writing: the merged plan reads the same
+        # path the dynamic overwrite rewrites, and Spark (correctly)
+        # refuses to overwrite a path it is still reading from. Only
+        # the touched buckets' survivors are held, not the table.
+        merged = keep.select(*batch.columns).unionByName(batch).localCheckpoint()
+    else:
+        merged = batch
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def read_labeled_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """S2: ground-truth labeled pairs source — CSV (with header) or
+    parquet, normalized to the (left, right, match) contract the
+    trainer consumes (reference src/preprocessing.py:237-247 reads the
+    labeled CSV)."""
+    if path.endswith(".csv") or path.endswith(".csv.gz"):
+        df = spark.read.option("header", True).csv(path)
+    else:
+        df = spark.read.parquet(path)
+    cols = {c.lower(): c for c in df.columns}
+    left = cols.get("left") or cols.get("id1") or cols.get("record_id1")
+    right = cols.get("right") or cols.get("id2") or cols.get("record_id2")
+    match = cols.get("match") or cols.get("label") or cols.get("is_match")
+    if not (left and right and match):
+        raise ValueError(
+            f"labeled pairs at {path} must carry left/right/match-like columns; got {df.columns}"
+        )
+    return df.select(
+        F.col(left).cast("string").alias("left"),
+        F.col(right).cast("string").alias("right"),
+        F.col(match).cast("boolean").alias("match"),
+    )
+
+
 def write_clusters_jsonl(clusters: DataFrame, path: str) -> None:
     """JSONL sink: one line per cluster {cluster_id, size, entities}
     (reference src/clustering.py:197-219)."""

@@ -96,14 +96,17 @@ def test_fused_features_match_unfused(spark, corpus):
     ).limit(200)
     hydrated = features.hydrate_pairs(cand, wide).cache()
     cols = ["id1", "id2", *ALL_FEATURE_NAMES]
-    a = features.with_all_features(hydrated, fused=True).select(*cols)
+    a = features.with_all_features(hydrated, fused=True, dim=16).select(*cols)
     b = features.with_all_features(hydrated, fused=False).select(*cols)
     rows_a = {(r["id1"], r["id2"]): r for r in a.collect()}
     rows_b = {(r["id1"], r["id2"]): r for r in b.collect()}
     assert rows_a.keys() == rows_b.keys() and rows_a
     for k in rows_a:
         for name in ALL_FEATURE_NAMES:
-            assert rows_a[k][name] == pytest.approx(rows_b[k][name], abs=1e-12), (k, name)
+            # fused dot == cosine up to the float32 unit-norm rounding
+            # of the stored vectors (embedder normalizes in float64,
+            # stores float32)
+            assert rows_a[k][name] == pytest.approx(rows_b[k][name], abs=2e-6), (k, name)
     hydrated.unpersist()
 
 
@@ -166,6 +169,32 @@ def test_low_info_corroboration_cap(spark):
     df2 = df.withColumn("title_jaccard", F.lit(0.9))
     out2 = classify.classify_pairs(df2, model, cfg).collect()[0]
     assert out2["confidence"] > cfg.low_info_confidence_cap
+
+
+def test_golden_confidence_pinned_to_reference(spark):
+    """VERDICT #8 normalization-parity check: the reference normalizes
+    predict-time features with TRAIN min/range
+    (src/classification.py:361-370), but its published
+    model_parameters.json carries NO train stats — so identity
+    normalization is the only reproducible contract, and Model.golden()
+    ships it. This pins engine confidences for fixed feature rows to
+    sigmoid(w·x + b) computed directly from the reference's published
+    weights/bias (values precomputed outside Spark)."""
+    model = classify.Model.golden()
+    rows = [
+        {n: 0.5 + 0.02 * i for i, n in enumerate(FEATURE_NAMES)},
+        {n: 0.9 for n in FEATURE_NAMES},
+    ]
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        ", ".join(f"{n} double" for n in FEATURE_NAMES),
+    ).withColumn("id1", F.lit("a")).withColumn("id2", F.lit("b"))
+    out = classify.classify_pairs(df, model, PipelineConfig()).collect()
+    # reference-side: sigmoid(bias + Σ w_i x_i) over model_parameters.json
+    assert out[0]["confidence"] == pytest.approx(0.727616604357, abs=1e-9)
+    assert out[1]["confidence"] == pytest.approx(0.858880364529, abs=1e-9)
+    assert out[0]["is_match"] is False   # threshold 0.75
+    assert out[1]["is_match"] is True
 
 
 def test_model_save_load(tmp_path):

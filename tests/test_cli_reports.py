@@ -110,3 +110,45 @@ def test_matches_per_entity(spark):
     assert got == {"a": 2, "b": 2, "c": 2}
     stats = reports.matches_per_entity_stats(pairs)
     assert stats["n_entities"] == 3 and stats["mean_matches"] == pytest.approx(2.0)
+
+
+def test_feature_means(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0.2, True), (0.8, 0.4, True), (0.1, 0.9, False)],
+        "f1 double, f2 double, is_match boolean",
+    )
+    got = {r["feature"]: (r["mean_match"], r["mean_non_match"])
+           for r in reports.feature_means(df, ("f1", "f2")).collect()}
+    assert got["f1"][0] == pytest.approx(0.9) and got["f1"][1] == pytest.approx(0.1)
+    assert got["f2"][0] == pytest.approx(0.3) and got["f2"][1] == pytest.approx(0.9)
+
+
+def test_idempotent_upsert(spark, tmp_path):
+    from entity_resolution_pipeline_v1_spark.sources.sinks import idempotent_upsert
+
+    path = str(tmp_path / "upsert")
+    b1 = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("k3", "v3")], "k string, v string"
+    )
+    out1 = idempotent_upsert(b1, path, "k")
+    assert out1.count() == 3
+    # overlapping batch: k2 updated, k4 inserted; k1/k3 untouched
+    b2 = spark.createDataFrame([("k2", "v2b"), ("k4", "v4")], "k string, v string")
+    out2 = idempotent_upsert(b2, path, "k")
+    got = {r["k"]: r["v"] for r in out2.collect()}
+    assert got == {"k1": "v1", "k2": "v2b", "k3": "v3", "k4": "v4"}
+    # replaying the same batch is a no-op by value
+    out3 = idempotent_upsert(b2, path, "k")
+    assert {r["k"]: r["v"] for r in out3.collect()} == got
+    assert out3.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_read_labeled_pairs_csv(spark, tmp_path):
+    from entity_resolution_pipeline_v1_spark.sources.sinks import read_labeled_pairs
+
+    p = tmp_path / "labels.csv"
+    p.write_text("id1,id2,label\nr1,r2,true\nr1,r3,false\n")
+    df = read_labeled_pairs(spark, str(p))
+    assert df.columns == ["left", "right", "match"]
+    rows = {(r["left"], r["right"]): r["match"] for r in df.collect()}
+    assert rows == {("r1", "r2"): True, ("r1", "r3"): False}

@@ -69,3 +69,14 @@ def test_filter_and_relabel(spark):
     oversized = {r["record_id"]: r["oversized"] for r in rows}
     assert oversized["d"] and oversized["e"] and oversized["f"]
     assert not oversized["a"]
+
+
+def test_position_in_cluster(spark):
+    from entity_resolution_pipeline_v1_spark.operators.cluster import position_in_cluster
+
+    labels = spark.createDataFrame(
+        [("r3", 0), ("r1", 0), ("r2", 0), ("r9", 1)], "record_id string, cluster_id int"
+    )
+    got = {(r["record_id"]): (r["cluster_id"], r["position"])
+           for r in position_in_cluster(labels).collect()}
+    assert got == {"r1": (0, 1), "r2": (0, 2), "r3": (0, 3), "r9": (1, 1)}

@@ -74,3 +74,38 @@ def test_simhash_band_keys_pigeonhole(spark):
     df = spark.createDataFrame([(int(a),), (int(b),)], "s long")
     keys = [r["k"] for r in df.select(SK.simhash_band_keys("s", 4).alias("k")).collect()]
     assert len(set(keys[0]) & set(keys[1])) >= 3
+
+
+def test_simhash_matches_scalar_definition(spark):
+    """Golden oracle for the batch-vectorized simhash_udf: it must
+    reproduce the scalar SimHash definition bit for bit — md5-based
+    token hash, ±1 per bit over the distinct token set, (h >> k) & 1
+    bit order."""
+    import hashlib
+
+    def scalar_simhash(toks):
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for tok in set(toks):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            for k in range(64):
+                acc[k] += ((h >> k) & 1) * 2 - 1
+        sim = 0
+        for k in range(64):
+            if acc[k] > 0:
+                sim |= 1 << k
+        return np.uint64(sim).astype(np.int64).item() if sim >= 2**63 else sim
+
+    rows = [
+        (["alpha", "beta", "gamma"],),
+        (["alpha", "beta", "gamma", "alpha"],),  # dup token collapses
+        (["one"],),
+        ([],),
+        (None,),
+        (["日本語", "токен", "mixed"],),
+    ]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    got = [r["s"] for r in df.select(SK.simhash_udf("toks").alias("s")).collect()]
+    want = [scalar_simhash(t[0]) for t in rows]
+    assert got == want
