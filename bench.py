@@ -57,14 +57,21 @@ HEADLINE = [
 
 ER_RECORDS = int(os.environ.get("SPARK_GRAFT_ER_RECORDS", "20000"))
 # scaling evidence runs a larger corpus so executor compute dominates
-# the fixed driver-side costs (planning, stage commits) that do not
-# parallelize and would otherwise cap the measurable efficiency
-SCALING_RECORDS = int(os.environ.get("SPARK_GRAFT_SCALING_RECORDS", "60000"))
-# N and 4N cores. 2→8 rather than 8→32: measured repeatedly, this
-# shared host never delivers >~8-10 effective cores to a mixed
-# JVM+Python workload (local[32] is consistently no faster, often
-# slower, than local[8] even on embarrassingly parallel stages), so
-# 8→32 would measure the host's capacity ceiling, not the engine.
+# the fixed driver-side costs that do NOT parallelize — broadcast
+# relation build, codegen compilation, Python worker fork — and would
+# otherwise cap the measurable efficiency by Amdahl alone. Round-2's
+# 60k-record fixture put only ~50s of work at N cores against ~10s of
+# fixed cost, capping efficiency near 0.6 before any engine fault;
+# per-stage diagnostics (tools/scaling_diag.py, committed results in
+# BASELINE.md) show each feature family scales 0.8+ once fixed costs
+# are amortized.
+SCALING_RECORDS = int(os.environ.get("SPARK_GRAFT_SCALING_RECORDS", "150000"))
+# N and 4N cores. 2→8 rather than 8→32: the committed pure-JVM
+# CPU-bound control (tools/scaling_diag.py --modes jvm) measures THIS
+# HOST delivering 0.86 efficiency at 2→8 but only 0.57 at 8→32 — the
+# host's effective-core ceiling, not the engine. The control is the
+# evidence that 2→8 is a fair window: anything that fails to scale
+# there is the engine's fault.
 SCALING_CORES = (
     int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
     int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8")),
@@ -225,16 +232,32 @@ def build_score_fixture(fixture_dir: str, n_records: int) -> None:
     preprocess.records_wide(records, emb).write.mode("overwrite").parquet(f"{fixture_dir}/wide")
     blocks = blocking.cap_blocks(blocking.build_blocks(records), cfg.max_block_size)
     # fixed partition count so every scaling point reads identical splits
-    pairs.candidate_pairs(blocks).repartition(64).write.mode("overwrite").parquet(
+    pairs.candidate_pairs(blocks).repartition(128).write.mode("overwrite").parquet(
         f"{fixture_dir}/cand"
     )
     spark.stop()
 
 
 def run_score_worker(cpus: int, fixture_dir: str) -> None:
-    """One scoring-throughput point: hydrate + full feature set +
+    """One scoring-throughput point: hydrate + ALL 20 features +
     classify + aggregate over the pre-built fixture. This IS the
-    BASELINE 'pairs-scored/sec' workload."""
+    BASELINE 'pairs-scored/sec' workload.
+
+    Honesty + scale-shape notes (round-3 fixes):
+      * the final aggregate sums EVERY feature column, not just
+        confidence — round 2 aggregated confidence alone, and since
+        the golden model weights only the 14 reference features,
+        Catalyst silently pruned the Jaro-Winkler UDF and the extra
+        features out of the measured plan;
+      * broadcast joins are disabled: at web scale records_wide is
+        billions of rows — never broadcastable — so the shuffled hash
+        join IS the production plan shape, and it also removes the
+        single-threaded driver-side broadcast-relation build that
+        dominated the round-2 fixed costs (measured in
+        tools/scaling_diag.py: broadcast 'full' 0.38 eff vs shuffle
+        'fullsh' 0.56 on the same 60k fixture);
+      * a small end-to-end warmup run compiles the generated code and
+        forks the Python UDF workers outside the timed window."""
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
 
@@ -243,29 +266,48 @@ def run_score_worker(cpus: int, fixture_dir: str) -> None:
     from entity_resolution_pipeline_v1_spark.operators.features import ALL_FEATURE_NAMES
     from entity_resolution_pipeline_v1_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-score-{cpus}", cpus=cpus)
-    spark.range(1000).count()  # JVM/codegen warmup outside the timed window
-    # pre-fork the Python UDF workers (one per core; each pays a
-    # numpy/pandas import) outside the timed window — worker startup is
-    # session overhead, not scoring throughput
-    from entity_resolution_pipeline_v1_spark.functions.similarity import jaro_winkler_udf
-
-    warm = spark.range(cpus * 4).repartition(cpus).selectExpr("cast(id as string) s")
-    warm.select(jaro_winkler_udf("s", "s")).count()
+    spark = get_spark(
+        app_name=f"bench-score-{cpus}",
+        cpus=cpus,
+        shuffle_partitions=cpus * 4,
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
     cfg = PipelineConfig()
     cand = spark.read.parquet(f"{fixture_dir}/cand")
     wide = spark.read.parquet(f"{fixture_dir}/wide")
+
+    from entity_resolution_pipeline_v1_spark.operators.features import EXTRA_FEATURE_NAMES
+
+    def run_agg(c):
+        # staged scoring (string features + Arrow JW first, vector
+        # cosines second) — see features.staged_feature_matrix: the
+        # single-phase plan stacks every feature expression above the
+        # Arrow node and blows the JVM 64KB codegen method limit.
+        # The aggregate sums confidence AND each extra feature, so
+        # nothing in the 20-feature set can be pruned from the plan.
+        featured = features.staged_feature_matrix(c, wide, dim=cfg.embedding_dim)
+        df = classify.classify_pairs(
+            featured,
+            classify.Model.golden(),
+            cfg,
+            year_match_col=F.col("year_match"),
+            keep_columns=EXTRA_FEATURE_NAMES,
+        )
+        aggs = [F.count("*").alias("n"), F.sum("confidence").alias("s_conf")] + [
+            F.sum(x).alias(f"s_{x}") for x in EXTRA_FEATURE_NAMES
+        ]
+        return df.agg(*aggs).collect()[0]
+
+    # warmup: same plan over a slice — codegen compile + Python worker
+    # fork + parquet footer reads happen here, not in the timed window
+    run_agg(cand.limit(20_000))
     t0 = time.time()
-    featured = features.feature_matrix(
-        features.with_all_features(features.hydrate_pairs(cand, wide), dim=cfg.embedding_dim),
-        names=ALL_FEATURE_NAMES,
-    )
-    scored = classify.classify_pairs(
-        featured, classify.Model.golden(), cfg, year_match_col=F.col("year_match")
-    )
-    row = scored.agg(F.count("*").alias("n"), F.sum("confidence").alias("s")).collect()[0]
+    row = run_agg(cand)
     sec = time.time() - t0
-    assert row["s"] is not None
+    assert row["s_conf"] is not None
     print(json.dumps({"cpus": cpus, "pairs": int(row["n"]), "sec": round(sec, 2),
                       "pairs_per_sec": round(int(row["n"]) / sec, 1)}))
 

@@ -129,6 +129,20 @@ class PipelineConfig:
 
     fields: tuple[str, ...] = field(default_factory=lambda: EMBED_FIELDS)
 
+    def is_default_training_config(self) -> bool:
+        """True when the training/thresholding knobs are the shipped
+        defaults (reference config.yml values) — recorded in reports so
+        a tuned-gate F1 is never silently presented as the
+        out-of-the-box number."""
+        d = PipelineConfig()
+        return (
+            self.learning_rate == d.learning_rate
+            and self.max_iterations == d.max_iterations
+            and self.l2_lambda == d.l2_lambda
+            and self.match_threshold == d.match_threshold
+            and self.edge_threshold == d.edge_threshold
+        )
+
     @classmethod
     def reference_parity(cls, **overrides) -> "PipelineConfig":
         """The reference's published prefilter thresholds

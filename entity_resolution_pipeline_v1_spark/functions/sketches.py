@@ -74,10 +74,6 @@ def lsh_band_keys(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
     return F.when(sig.isNull(), F.lit(None)).otherwise(F.array(*keys))
 
 
-def _md5_u64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-
-
 def make_minhash_text_udf(num_hashes: int = 64, shingle_size: int = 5, seed: int = 42):
     """Arrow-batched MinHash over raw TEXT: char shingling, base
     hashing, and the k-way min all happen in vectorized numpy inside
@@ -182,25 +178,41 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(ac.bitwiseXOR(bc))
 
 
+_WINNOW_K, _WINNOW_W = 5, 4
+# FNV-prime powers for the Karp-Rabin k-gram hash (same scheme as the
+# minhash sketch above; winnowing per Schleimer et al. SIGMOD'03 calls
+# for exactly this rolling polynomial hash, not a cryptographic one)
+_WINNOW_POW = np.power(
+    np.uint64(1099511628211), np.arange(_WINNOW_K, dtype=np.uint64)
+)
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
-    rolling md5 of 5-gram character windows, minimum per window of 4,
-    distinct minima kept. Used for robust near-dup document identity."""
-    K, W = 5, 4
+    polynomial hash of 5-byte windows, minimum per window of 4,
+    distinct minima kept (sorted). Used for robust near-dup document
+    identity.
+
+    Fully numpy-vectorized per document: sliding_window_view builds the
+    k-gram matrix, one fused multiply-add computes every gram hash, a
+    second sliding_window_view takes the per-window rolling minima —
+    no per-gram or per-window Python loops (the round-2 version ran an
+    interpreted md5 + rolling-min per window)."""
+    K, W = _WINNOW_K, _WINNOW_W
 
     def fp(s):
-        if s is None or len(s) < K:
+        if s is None:
             return []
-        hashes = [
-            _md5_u64(s[i : i + K]) % (1 << 62) for i in range(len(s) - K + 1)
-        ]
+        data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(data) < K:
+            return []
+        windows = np.lib.stride_tricks.sliding_window_view(data, K)
+        hashes = (windows * _WINNOW_POW).sum(axis=1, dtype=np.uint64) % np.uint64(1 << 62)
         if len(hashes) <= W:
-            return [min(hashes)]
-        mins = set()
-        for i in range(len(hashes) - W + 1):
-            mins.add(min(hashes[i : i + W]))
-        return sorted(mins)
+            return [int(hashes.min())]
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, W).min(axis=1)
+        return np.unique(mins).astype(np.int64).tolist()
 
     return text.map(fp)
 

@@ -211,8 +211,12 @@ def classify_pairs(
     model: Model,
     cfg: PipelineConfig | None = None,
     year_match_col: Column | None = None,
+    keep_columns: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Featured pairs -> (id1, id2, confidence, is_match)."""
+    """Featured pairs -> (id1, id2[, keep_columns...], confidence,
+    is_match). ``keep_columns`` carries named feature columns through
+    (benchmarks aggregate over them so Catalyst cannot prune feature
+    work out of the measured plan; the production path keeps none)."""
     cfg = cfg or PipelineConfig()
     conf = confidence_expr(model, cfg, year_match_col)
     if cfg.require_corroboration_low_info and "low_info_name" in featured.columns:
@@ -231,5 +235,6 @@ def classify_pairs(
     return featured.select(
         "id1",
         "id2",
+        *[c for c in keep_columns if c in featured.columns],
         conf.alias("confidence"),
     ).withColumn("is_match", F.col("confidence") >= F.lit(cfg.match_threshold))

@@ -90,6 +90,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     persist_signatures: bool = True,
+    max_block: int = 5000,
 ) -> DataFrame:
     """Near-dup pairs with true shingle-Jaccard verification:
     (id1, id2, jaccard >= threshold) — `jaccard` is always the EXACT
@@ -111,7 +112,18 @@ def minhash_lsh_dedup(
     MEMORY_AND_DISK (spill-safe) because the plan reads them three
     times (band keys + both estimate sides); pass
     ``persist_signatures=False`` to recompute instead — the right
-    trade when executor memory is the constraint.
+    trade when executor memory is the constraint. The persisted handle
+    is exposed on the result as ``result.minhash_signatures`` so a
+    caller that owns the session can ``.unpersist()`` it once the
+    returned plan is materialized (repeated calls otherwise accumulate
+    cached blocks for the session lifetime).
+
+    ``max_block`` caps degenerate band keys the same way
+    minhash_candidates does: a boilerplate-heavy shard (identical
+    headers/footers) can put 10^5 docs in ONE band bucket -> 10^10
+    candidate rows before the estimate prune could run. Such keys are
+    anti-joined out; recall for their members is carried by their
+    other (num_bands - 1) band keys.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -126,6 +138,8 @@ def minhash_lsh_dedup(
         "doc",
         F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
     )
+    hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
+    keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
     a, b = keys.alias("a"), keys.alias("b")
     cands = (
         a.join(b, on="block_key")
@@ -157,13 +171,17 @@ def minhash_lsh_dedup(
     )
     l = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     r = sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
-    return (
+    out = (
         survivors.join(l, on="id1")
         .join(r, on="id2")
         .withColumn("jaccard", token_jaccard("sh1", "sh2"))
         .filter(F.col("jaccard") >= t)
         .select("id1", "id2", "jaccard")
     )
+    if persist_signatures:
+        # let session-owning callers unpersist after materialization
+        out.minhash_signatures = staged
+    return out
 
 
 def simhash_dedup(

@@ -164,6 +164,18 @@ def unit_dot_expr(a, b, dim: int) -> "F.Column":
     return s
 
 
+# Above this dimensionality the unrolled unit_dot_expr stops being the
+# right cosine plan: 5 cosines x dim multiply-add terms approaches the
+# JVM's 64KB-per-method codegen budget, Spark splits the generated
+# code into non-inlined expression methods, and throughput collapses
+# below the Arrow einsum path. Measured on this runtime (2.5M-pair
+# fixture, local[8]): dim 64 fused 22s vs UDF 117s; dim 1536 fused is
+# codegen-split/interpreted while the UDF stays one einsum per batch.
+# 256 keeps the whole 5-cosine projection comfortably inside one
+# whole-stage-codegen span (5*256 = 1280 terms).
+FUSED_COSINE_MAX_DIM = 256
+
+
 def with_all_features(
     hydrated: DataFrame, fused: bool = True, dim: int = 64
 ) -> DataFrame:
@@ -190,12 +202,14 @@ def with_all_features(
     rn = F.col("r_person_norm") if pre else TX.normalize_name("r_person")
     df = hydrated
     for f in EMBED_FIELDS:
-        df = df.withColumn(
-            f"{f}_cosine",
-            F.coalesce(
-                unit_dot_expr(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"), dim), F.lit(0.0)
-            ),
-        )
+        if dim <= FUSED_COSINE_MAX_DIM:
+            cos = unit_dot_expr(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"), dim)
+        else:
+            # reference-dimensionality vectors (1536, config.yml:46):
+            # the unrolled expression would blow the codegen method
+            # budget — Arrow-batched einsum is the scale path there
+            cos = S.cosine_udf(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"))
+        df = df.withColumn(f"{f}_cosine", F.coalesce(cos, F.lit(0.0)))
     df = df.withColumn(
         "person_jaro_winkler", F.coalesce(S.jaro_winkler_udf(ln, rn), F.lit(0.0))
     )
@@ -289,3 +303,118 @@ def feature_matrix(
     names: tuple[str, ...] = FEATURE_NAMES,
 ) -> DataFrame:
     return df.select(*id_cols, *[n for n in names if n in df.columns])
+
+
+# columns of records_wide consumed by the STRING phase of staged
+# scoring (everything the string/token features need), vs the vector
+# phase (the five embedding columns)
+_STRING_PHASE_COLS = (
+    "person", "title", "subjects",
+    "person_norm", "person_tokens", "title_tokens", "subjects_tokens",
+    "person_informative", "person_years",
+)
+
+
+def staged_feature_matrix(
+    cand: DataFrame,
+    wide: DataFrame,
+    dim: int = 64,
+    names: tuple[str, ...] = ALL_FEATURE_NAMES,
+) -> DataFrame:
+    """Two-phase pair scoring: (1) hydrate only the STRING/TOKEN columns
+    and compute every string feature — Jaro-Winkler (the one Arrow
+    UDF), Levenshtein, the three Jaccards, year-match, low-info — then
+    drop the strings; (2) hydrate the vectors and compute the cosines
+    and their interaction features in the top stage.
+
+    Same values as feature_matrix(with_all_features(hydrate_pairs(...)))
+    (tested), different physical plan, two advantages at scale:
+
+      * the Arrow eval node sits in the cheap string stage; the
+        vector stage is pure whole-stage codegen. With single-phase
+        hydration, CollapseProject stacks ALL feature expressions
+        above the Arrow node in one projection whose 5 x dim-term dot
+        products exceed the JVM's 64KB method limit — Spark silently
+        drops that stage to interpreted mode (~4x slower, measured on
+        the 2.5M-pair fixture);
+      * the inter-phase frame is skinny (ids + a few doubles), so the
+        extra pair of hydration joins shuffles little, and a caller
+        can insert an early-exit filter on the cheap string features
+        before paying for vector hydration (cascade scoring).
+
+    Requires the records_wide precomputed columns (person_norm, token
+    arrays, years) — the pipeline's records_wide always has them.
+    """
+    missing = [c for c in _STRING_PHASE_COLS if c not in wide.columns]
+    if missing:
+        raise ValueError(f"staged_feature_matrix needs records_wide columns, missing: {missing}")
+    # phase 1: string features over a names-only hydrate
+    sl = wide.select(
+        F.col("record_id").alias("id1"),
+        *[F.col(c).alias(f"l_{c}") for c in _STRING_PHASE_COLS],
+    )
+    sr = wide.select(
+        F.col("record_id").alias("id2"),
+        *[F.col(c).alias(f"r_{c}") for c in _STRING_PHASE_COLS],
+    )
+    p = cand.join(sl, on="id1").join(sr, on="id2")
+    ly, ry = F.col("l_person_years"), F.col("r_person_years")
+    p = p.select(
+        "id1",
+        "id2",
+        F.coalesce(
+            S.jaro_winkler_udf(F.col("l_person_norm"), F.col("r_person_norm")), F.lit(0.0)
+        ).alias("person_jaro_winkler"),
+        S.levenshtein_sim("l_person", "r_person").alias("person_levenshtein"),
+        S.token_jaccard(F.col("l_person_tokens"), F.col("r_person_tokens")).alias(
+            "person_jaccard"
+        ),
+        S.token_jaccard(F.col("l_title_tokens"), F.col("r_title_tokens")).alias(
+            "title_jaccard"
+        ),
+        S.token_jaccard(F.col("l_subjects_tokens"), F.col("r_subjects_tokens")).alias(
+            "subjects_jaccard"
+        ),
+        F.when(
+            (F.col("l_person_informative") < 2) | (F.col("r_person_informative") < 2), 1.0
+        )
+        .otherwise(0.0)
+        .alias("low_info_name"),
+        Y.year_match(ly["birth"], ly["death"], ry["birth"], ry["death"]).alias("year_match"),
+    )
+    # phase 2: vector hydration + codegen cosines on the skinny frame
+    vl = wide.select(
+        F.col("record_id").alias("id1"),
+        *[F.col(f"{f}_vec").alias(f"l_{f}_vec") for f in EMBED_FIELDS],
+    )
+    vr = wide.select(
+        F.col("record_id").alias("id2"),
+        *[F.col(f"{f}_vec").alias(f"r_{f}_vec") for f in EMBED_FIELDS],
+    )
+    df = p.join(vl, on="id1").join(vr, on="id2")
+    for f in EMBED_FIELDS:
+        if dim <= FUSED_COSINE_MAX_DIM:
+            cos = unit_dot_expr(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"), dim)
+        else:
+            cos = S.cosine_udf(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"))
+        df = df.withColumn(f"{f}_cosine", F.coalesce(cos, F.lit(0.0)))
+    for a, b in [
+        ("person", "title"),
+        ("person", "provision"),
+        ("person", "subjects"),
+        ("title", "subjects"),
+        ("title", "provision"),
+        ("provision", "subjects"),
+    ]:
+        df = df.withColumn(
+            f"{a}_{b}_harmonic",
+            S.harmonic_mean(F.col(f"{a}_cosine"), F.col(f"{b}_cosine")),
+        )
+    df = df.withColumn(
+        "person_subjects_product", S.product(F.col("person_cosine"), F.col("subjects_cosine"))
+    )
+    df = df.withColumn(
+        "composite_subjects_ratio",
+        S.safe_ratio(F.col("composite_cosine"), F.col("subjects_cosine")),
+    )
+    return feature_matrix(df, names=names)

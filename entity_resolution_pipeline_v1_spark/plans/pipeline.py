@@ -42,6 +42,7 @@ class ERPipeline:
         self.cfg = cfg or PipelineConfig()
         self.results: list[StageResult] = []
         self.model: classify.Model | None = None
+        self.train_metrics: dict | None = None
 
     # -- checkpoint fingerprint ---------------------------------------------
     def _fingerprint(self, extra: str = "") -> str:
@@ -194,6 +195,22 @@ class ERPipeline:
         if cfg.generate_reports:
             from .. import reports
 
+            # evaluation block: the config that PRODUCED these numbers
+            # travels with them — a tuned-gate F1 is distinguishable
+            # from the out-of-the-box default-config F1 in the report
+            evaluation: dict = {
+                "config": {
+                    "learning_rate": cfg.learning_rate,
+                    "max_iterations": cfg.max_iterations,
+                    "l2_lambda": cfg.l2_lambda,
+                    "match_threshold": cfg.match_threshold,
+                    "edge_threshold": cfg.edge_threshold,
+                    "is_default_config": cfg.is_default_training_config(),
+                },
+                "train_metrics": self.train_metrics,
+            }
+            if labeled_pairs is not None:
+                evaluation["pairwise"] = reports.pairwise_metrics(labels, labeled_pairs)
             reports.write_reports(
                 cfg.checkpoint_dir,
                 deduped,
@@ -206,6 +223,7 @@ class ERPipeline:
                      "skipped": r.skipped}
                     for r in self.results
                 ],
+                evaluation=evaluation,
             )
         return labels
 

@@ -38,6 +38,29 @@ def _ensure(path: str) -> str:
     return path
 
 
+def pairwise_metrics(labels: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of cluster labels against labeled
+    ground-truth pairs (left, right, match) — the BASELINE.json quality
+    metric, computed as one distributed confusion-matrix agg."""
+    lab = labeled_pairs.withColumnRenamed("left", "id1").withColumnRenamed("right", "id2")
+    l1 = labels.select(F.col("record_id").alias("id1"), F.col("cluster_id").alias("c1"))
+    l2 = labels.select(F.col("record_id").alias("id2"), F.col("cluster_id").alias("c2"))
+    j = (
+        lab.join(l1, "id1", "left")
+        .join(l2, "id2", "left")
+        .withColumn("pred", F.col("c1").isNotNull() & (F.col("c1") == F.col("c2")))
+    )
+    cm = {(r["match"], r["pred"]): r["count"] for r in j.groupBy("match", "pred").count().collect()}
+    tp = cm.get((True, True), 0)
+    fn = cm.get((True, False), 0)
+    fp = cm.get((False, True), 0)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    return {"precision": round(prec, 6), "recall": round(rec, 6), "f1": round(f1, 6),
+            "tp": tp, "fp": fp, "fn": fn}
+
+
 # -- distributed aggregates -------------------------------------------------
 
 def confidence_histogram(scored: DataFrame, bins: int = 20,
@@ -174,6 +197,7 @@ def write_reports(
     featured: DataFrame | None = None,
     feature_names: tuple[str, ...] | None = None,
     stage_summary: list[dict] | None = None,
+    evaluation: dict | None = None,
 ) -> str:
     """Write the full report set; returns the reports directory."""
     rd = _ensure(os.path.join(work_dir, "reports"))
@@ -206,6 +230,10 @@ def write_reports(
         "matches_per_entity": matches_per_entity_stats(scored_pairs),
         "stages": stage_summary or [],
     }
+    if evaluation is not None:
+        # records WHICH hyperparameters produced the quality numbers so
+        # a tuned-gate F1 is never mistaken for the out-of-the-box one
+        summary["evaluation"] = evaluation
     if model is not None:
         write_model_parameters(model, rd)
         summary["model_bias"] = model.bias

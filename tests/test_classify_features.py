@@ -110,6 +110,54 @@ def test_fused_features_match_unfused(spark, corpus):
     hydrated.unpersist()
 
 
+def test_reference_dim_1536_cosine_path(spark):
+    """At the reference's embedding dimensionality (1536, reference
+    config.yml:46) the fused path must auto-switch cosines to the
+    Arrow einsum UDF — the 5x1536-term unrolled expression would blow
+    the JVM's 64KB codegen method budget — and the values must match
+    numpy to float32 precision."""
+    import numpy as np
+
+    assert features.FUSED_COSINE_MAX_DIM < 1536
+    rng = np.random.RandomState(7)
+    dim, n = 1536, 20
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype(np.float32).tolist()
+    rows, expect = [], []
+    for i in range(n):
+        lv = {f: rng.randn(dim) for f in ("composite", "person", "title", "provision", "subjects")}
+        rv = {f: rng.randn(dim) for f in lv}
+        row = {"id1": f"a{i}", "id2": f"b{i}",
+               "l_person": "Smith, John", "r_person": "Smith, Jon",
+               "l_title": "T", "r_title": "T", "l_provision": "P", "r_provision": "P",
+               "l_subjects": "Math", "r_subjects": "Math"}
+        for f in lv:
+            row[f"l_{f}_vec"] = unit(lv[f])
+            row[f"r_{f}_vec"] = unit(rv[f])
+        rows.append(tuple(row.values()))
+        expect.append({
+            f: float(np.dot(row[f"l_{f}_vec"], row[f"r_{f}_vec"])
+                     / (np.linalg.norm(row[f"l_{f}_vec"]) * np.linalg.norm(row[f"r_{f}_vec"])))
+            for f in lv
+        })
+    schema = (
+        "id1 string, id2 string, l_person string, r_person string, l_title string,"
+        " r_title string, l_provision string, r_provision string, l_subjects string,"
+        " r_subjects string,"
+        + ",".join(
+            f" l_{f}_vec array<float>, r_{f}_vec array<float>"
+            for f in ("composite", "person", "title", "provision", "subjects")
+        )
+    )
+    hydrated = spark.createDataFrame(rows, schema)
+    out = features.with_all_features(hydrated, fused=True, dim=dim)
+    got = {r["id1"]: r for r in out.collect()}
+    assert len(got) == n
+    for i in range(n):
+        for f in ("composite", "person", "title", "provision", "subjects"):
+            assert got[f"a{i}"][f"{f}_cosine"] == pytest.approx(expect[i][f], abs=1e-6), (i, f)
+
+
 def test_golden_score_expr_matches_numpy(spark):
     model = classify.Model.golden()
     vals = {name: 0.5 + 0.02 * i for i, name in enumerate(FEATURE_NAMES)}

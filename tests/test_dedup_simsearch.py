@@ -36,6 +36,30 @@ def test_minhash_lsh_dedup(docs):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_minhash_lsh_dedup_hot_block_cap(spark):
+    """A degenerate band key (boilerplate corpus: one shared text) must
+    be anti-joined out by max_block instead of exploding the band
+    self-join into O(n^2) candidates."""
+    boiler = "identical header footer boilerplate page body " * 5
+    rows = [(i, boiler) for i in range(40)]
+    # plus one small genuine near-dup group that keeps its own blocks
+    rows += [(100, "unique doc text alpha beta gamma delta epsilon zeta eta"),
+             (101, "unique doc text alpha beta gamma delta epsilon zeta theta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the boilerplate block size: every boilerplate band key
+    # has 40 members -> all capped; the pair (100,101) must survive
+    out = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5, max_block=10)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert all(i1 >= 100 for i1, _ in got), f"boilerplate pairs leaked: {sorted(got)[:5]}"
+    assert (100, 101) in got
+    out.minhash_signatures.unpersist()
+    # sanity: without the cap the boilerplate pairs DO appear
+    uncapped = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5, max_block=5000)
+    got2 = {(r["id1"], r["id2"]) for r in uncapped.collect()}
+    assert (0, 1) in got2
+    uncapped.minhash_signatures.unpersist()
+
+
 def test_simhash_dedup(docs):
     pairs = dedup.simhash_dedup(docs, max_hamming=8)
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}

@@ -78,6 +78,39 @@ def test_cluster_purity(run, corpus):
     assert mixed == 0
 
 
+def test_default_and_tuned_f1_both_recorded(spark, corpus, labeled, tmp_path_factory):
+    """The shipped DEFAULT training config (reference hyperparams: lr
+    0.01, 1000 iters, threshold 0.75) and the tuned gate config must
+    BOTH write their pairwise F1 into summary_report.json, tagged with
+    the config that produced it — so the tuned-gate number is never
+    mistaken for the out-of-the-box one (round-2 VERDICT #5)."""
+
+    def run_with(cfg):
+        pipe = ERPipeline(spark, cfg)
+        pipe.run(P.pages_view(corpus), labeled_pairs=labeled)
+        with open(f"{cfg.checkpoint_dir}/reports/summary_report.json") as fh:
+            return json.load(fh)
+
+    default_cfg = PipelineConfig(
+        checkpoint_dir=str(tmp_path_factory.mktemp("default_cfg")), generate_reports=True
+    )
+    tuned = _cfg(str(tmp_path_factory.mktemp("tuned_cfg")))
+    tuned.generate_reports = True
+
+    s_default = run_with(default_cfg)
+    s_tuned = run_with(tuned)
+
+    ev_d, ev_t = s_default["evaluation"], s_tuned["evaluation"]
+    assert ev_d["config"]["is_default_config"] is True
+    assert ev_t["config"]["is_default_config"] is False
+    for ev in (ev_d, ev_t):
+        assert 0.0 <= ev["pairwise"]["f1"] <= 1.0
+        assert ev["train_metrics"] is not None
+    # the gate config must still clear the bar; the default-config F1
+    # is recorded, not gated — the visible gap IS the deliverable
+    assert ev_t["pairwise"]["f1"] >= 0.99
+
+
 def test_resume_skips_stages(run, spark, corpus):
     pipe, labels, work = run
     pipe2 = ERPipeline(spark, _cfg(work))
