@@ -511,6 +511,31 @@ def _q_media_meta(spark, sf_dir):
     )
 
 
+def _q_media_header(spark, sf_dir):
+    # REAL multimodal decode step: synthesize a structurally-valid PNG
+    # payload per document (dims derived from doc_id), then parse the
+    # mime/width/height back OUT OF THE BYTES with the pure-Python
+    # container-header parser (multimodal.image_header_udf). The
+    # oracle predicts the dims arithmetically — any parser/builder
+    # disagreement breaks the hash match.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        image_header_udf,
+        make_png_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    media = d.select("doc_id", make_png_udf(w, h).alias("payload"))
+    parsed = media.select("doc_id", image_header_udf("payload").alias("hdr"))
+    return parsed.select(
+        "doc_id",
+        F.col("hdr.mime").alias("mime"),
+        F.col("hdr.width").alias("width"),
+        F.col("hdr.height").alias("height"),
+    )
+
+
 def _q_matches_per_entity(spark, sf_dir):
     # A7: match edges touching each entity (reference analysis.py
     # 'most connected entities')
@@ -584,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_udf": _q_cosine_topk_udf,
         "knn_impute": _q_knn_impute,
         "media_meta": _q_media_meta,
+        "media_header": _q_media_header,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
         "cluster_stats": _q_cluster_stats,
@@ -882,7 +908,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # simhash_docs / minhash_near_dup: deliberately no oracle —
         # xxhash64/md5-bit sketches aren't expressible in DuckDB SQL;
-        # driver records rows-only checks.
+        # driver records rows-only checks (golden-hash pytest fixtures
+        # in tests/test_entry_oracle.py pin their exact outputs).
+        "media_header": """
+            SELECT doc_id,
+                   'image/png' AS mime,
+                   CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 480 + 1 AS INTEGER) AS height
+            FROM documents
+        """,
         "connected_components": """
             WITH RECURSIVE e AS (
                 SELECT a.doc_id AS src, b.doc_id AS dst

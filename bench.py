@@ -50,6 +50,7 @@ HEADLINE = [
     "jaro_winkler_pairs",
     "knn_impute",
     "media_meta",
+    "media_header",
     "matches_per_entity",
     "feature_corr",
     "cluster_stats",
@@ -141,7 +142,6 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
         pairs,
         preprocess,
     )
-    from entity_resolution_pipeline_v1_spark.operators.features import ALL_FEATURE_NAMES
     from entity_resolution_pipeline_v1_spark.sources import pages as P
 
     import shutil
@@ -164,6 +164,11 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
         return spark.read.parquet(path)
 
     cfg = PipelineConfig()
+    # byte-skinny + CPU-dense workload: AQE byte-based partition
+    # coalescing would throttle it (see run_score_worker) — suspend
+    # for the ER pipeline run, restore after
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     t0 = time.time()
     corpus = P.generate_corpus(spark, n_records=n_records, seed=42)
     pg = P.pages_view(corpus)
@@ -180,10 +185,7 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
     # partitions, which would serialize the fused-feature pandas UDF
     par = spark.sparkContext.defaultParallelism * 2
     cand = ckpt(pairs.candidate_pairs(blocks).repartition(par), "cand")
-    featured = features.feature_matrix(
-        features.with_all_features(features.hydrate_pairs(cand, wide), dim=cfg.embedding_dim),
-        names=ALL_FEATURE_NAMES,
-    )
+    featured = features.staged_feature_matrix(cand, wide, dim=cfg.embedding_dim)
     model = classify.Model.golden()
     scored = classify.classify_pairs(featured, model, cfg, year_match_col=F.col("year_match"))
     # aggregate over confidence so Catalyst cannot prune the feature
@@ -191,6 +193,7 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
     row = scored.agg(F.count("*").alias("n"), F.sum("confidence").alias("s")).collect()[0]
     assert row["s"] is not None
     er_sec = time.time() - t0
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
     fam = {
         r["family"]: {"n_keys": int(r["n_keys"]), "n_pairs": int(r["n_pairs"])}
         for r in blocking.family_pair_stats(blocks).collect()
@@ -208,7 +211,8 @@ def run_er_worker(cpus: int, n_records: int | None = None) -> None:
     spark.range(1000).count()
     n, sec, _fam = er_throughput(spark, n_records or ER_RECORDS)
     print(json.dumps({"cpus": cpus, "pairs": n, "sec": round(sec, 2),
-                      "pairs_per_sec": round(n / sec, 1)}))
+                      "pairs_per_sec": round(n / sec, 1)}), flush=True)
+    spark.stop()
 
 
 def build_score_fixture(fixture_dir: str, n_records: int) -> None:
@@ -263,7 +267,6 @@ def run_score_worker(cpus: int, fixture_dir: str) -> None:
 
     from entity_resolution_pipeline_v1_spark.config import PipelineConfig
     from entity_resolution_pipeline_v1_spark.operators import classify, features
-    from entity_resolution_pipeline_v1_spark.operators.features import ALL_FEATURE_NAMES
     from entity_resolution_pipeline_v1_spark.session import get_spark
 
     spark = get_spark(
@@ -273,11 +276,29 @@ def run_score_worker(cpus: int, fixture_dir: str) -> None:
         extra_conf={
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            # THE scaling fix (round 3): AQE's byte-based partition
+            # coalescing throttles the scoring stages — they are
+            # byte-skinny (ids + a few doubles) but CPU-dense (JW,
+            # dot products), so coalescing to 64MB-advisory partitions
+            # runs the expensive compute in a handful of tasks no
+            # matter how many cores exist. Measured on the 8.9M-pair
+            # fixture at local[8]: 147s coalesced vs 59.6s without
+            # (and run-to-run stable: 59.6/59.7). Skew-join stays on.
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
         },
     )
     cfg = PipelineConfig()
     cand = spark.read.parquet(f"{fixture_dir}/cand")
     wide = spark.read.parquet(f"{fixture_dir}/wide")
+    # size shuffle partitions by DATA, not just cores: with a fixed
+    # cpus*4 count, partition size grows with input until concurrent
+    # tasks (which split executor memory cpus ways) start spilling —
+    # measured at 16.8M pairs/local[8]: 32 partitions 119k pairs/s vs
+    # 96 partitions 159k. ~200k pair rows per partition keeps every
+    # task's join+sort state in its memory share at any fixture size.
+    n_pairs_est = cand.count()  # parquet footer metadata, pre-timing
+    sp = max(cpus * 4, -(-n_pairs_est // 200_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
 
     from entity_resolution_pipeline_v1_spark.operators.features import EXTRA_FEATURE_NAMES
 
@@ -301,28 +322,80 @@ def run_score_worker(cpus: int, fixture_dir: str) -> None:
         ]
         return df.agg(*aggs).collect()[0]
 
+    def gc_ms() -> int:
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
     # warmup: same plan over a slice — codegen compile + Python worker
     # fork + parquet footer reads happen here, not in the timed window
     run_agg(cand.limit(20_000))
+    gc0 = gc_ms()
     t0 = time.time()
     row = run_agg(cand)
     sec = time.time() - t0
+    gc_sec = (gc_ms() - gc0) / 1000.0
     assert row["s_conf"] is not None
     print(json.dumps({"cpus": cpus, "pairs": int(row["n"]), "sec": round(sec, 2),
-                      "pairs_per_sec": round(int(row["n"]) / sec, 1)}))
+                      "pairs_per_sec": round(int(row["n"]) / sec, 1),
+                      "gc_sec": round(gc_sec, 2)}), flush=True)
+    # CRITICAL: tear the JVM down before the process exits. Without
+    # this the orphaned local-mode JVM lingers for many minutes at
+    # >100% CPU and CONTAMINATES the next scaling point's measurement
+    # (observed: a leftover 8-core JVM running 17 min into the
+    # local[2] point — the round-2 'negative scaling' smoking gun).
+    spark.stop()
+
+
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal
+    is 5-15% on this shared host and varies in bursts; every scaling
+    attempt reports the steal fraction it ran under."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:11]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
+def _java_pids() -> set[str]:
+    probe = subprocess.run(["pgrep", "java"], capture_output=True, text=True)
+    return {p for p in probe.stdout.split() if p}
+
+
+def _wait_new_jvms_gone(before: set[str], timeout_sec: int = 90) -> bool:
+    """Block until every java process spawned SINCE `before` is gone —
+    a lingering local-mode JVM from the previous point steals cores
+    from the next one (observed: an orphaned 8-core JVM still at >100%
+    CPU 17 minutes into the local[2] point). Pre-existing JVMs (the
+    bench driver's own idle py4j gateway) are excluded."""
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        if not (_java_pids() - before):
+            return True
+        time.sleep(2)
+    return False
 
 
 def _score_point(cpus: int, fixture_dir: str) -> dict:
+    jvms_before = _java_pids()
+    s0, t0 = _cpu_stat()
     proc = subprocess.run(
         [sys.executable, __file__, "--score-worker", str(cpus),
          "--fixture-dir", fixture_dir],
         capture_output=True, text=True, timeout=3600,
     )
+    s1, t1 = _cpu_stat()
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    if t1 > t0:
+        res["host_steal_pct"] = round(100.0 * (s1 - s0) / (t1 - t0), 1)
+    res["jvm_clean_exit"] = _wait_new_jvms_gone(jvms_before)
+    return res
 
 
-def run_scaling(max_attempts: int = 2) -> dict:
+def run_scaling(max_attempts: int = 3) -> dict:
     """Pairs-scored/sec at N vs 4N cores on IDENTICAL pre-built input —
     fresh subprocess per point so the JVM/master is really re-sized.
 
@@ -347,7 +420,13 @@ def run_scaling(max_attempts: int = 2) -> dict:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     fixture = tempfile.mkdtemp(prefix="er_scaling_fixture_", dir=base)
     try:
-        build_score_fixture(fixture, SCALING_RECORDS)
+        jvms_before = _java_pids()
+        subprocess.run(
+            [sys.executable, __file__, "--build-fixture", fixture,
+             str(SCALING_RECORDS)],
+            check=True, timeout=3600, capture_output=True,
+        )
+        _wait_new_jvms_gone(jvms_before)
         n_lo, n_hi = SCALING_CORES
         ratio = n_hi / n_lo
         best: dict[int, dict] = {}
@@ -390,6 +469,9 @@ if __name__ == "__main__":
             int(sys.argv[sys.argv.index("--score-worker") + 1]),
             sys.argv[sys.argv.index("--fixture-dir") + 1],
         )
+    elif "--build-fixture" in sys.argv:
+        i = sys.argv.index("--build-fixture")
+        build_score_fixture(sys.argv[i + 1], int(sys.argv[i + 2]))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
@@ -29,6 +30,101 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap native metadata: byte length + md5 content id."""
     return df.withColumn("payload_bytes", F.length(F.col(payload_col))).withColumn(
         "content_id", F.md5(F.col(payload_col).cast("string"))
+    )
+
+
+def _parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(mime, width, height) from raw image bytes — pure byte parsing
+    of the container headers, no codec library needed. Supports PNG
+    (IHDR), GIF87a/89a (logical screen descriptor), and JPEG (walks
+    the segment list to the first SOFn frame header). Unknown or
+    truncated payloads -> (None, None, None)."""
+    if not b or len(b) < 10:
+        return (None, None, None)
+    # PNG: 8-byte signature, then IHDR chunk: len(4) 'IHDR' W(4 BE) H(4 BE)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            return (
+                "image/png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        return ("image/png", None, None)
+    # GIF: 6-byte version, then W(2 LE) H(2 LE)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    # JPEG: SOI then segments [FF marker len(2 BE) payload]; SOFn
+    # (C0-CF minus C4/C8/CC) payload = precision(1) H(2 BE) W(2 BE)
+    if b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                break
+            i += 2 + seg_len
+        return ("image/jpeg", None, None)
+    return (None, None, None)
+
+
+IMAGE_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(IMAGE_HEADER_SCHEMA)
+def image_header_udf(payload: pd.Series) -> pd.DataFrame:
+    """REAL multimodal decode step (not stubbed): container-header
+    parse of binary image payloads -> (mime, width, height). Pixel
+    decode stays stubbed (extract_features) — this container has no
+    codec libraries — but dimensions/mime come from the actual bytes."""
+    rows = [_parse_image_header(b) for b in payload]
+    return pd.DataFrame(rows, columns=["mime", "width", "height"])
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal structurally-valid PNG header bytes (signature + IHDR)
+    for the given dimensions — deterministic payload generator for
+    tests and oracle-checked queries."""
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, truecolor
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # CRC placeholder (header parse ignores it)
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def make_png_udf(width: pd.Series, height: pd.Series) -> pd.Series:
+    """Deterministic PNG payload per row (see make_png)."""
+    return pd.Series(
+        [make_png(int(w), int(h)) for w, h in zip(width, height)], dtype=object
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,21 @@ from ..config import PipelineConfig
 from ..operators.features import ALL_FEATURE_NAMES
 from ..operators import blocking, classify, cluster, extract, features, pairs, preprocess
 from ..sources import sinks
+
+
+@contextmanager
+def _no_aqe_coalesce(spark: SparkSession):
+    """Suspend AQE partition coalescing (runtime conf) for a stage
+    whose shuffles are byte-skinny but CPU-dense — byte-based
+    coalescing would run the expensive per-row compute in a handful
+    of tasks regardless of cluster size. Restores the prior setting."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @dataclass
@@ -145,16 +161,24 @@ class ERPipeline:
         cand = self._stage("pairs", lambda: pairs.candidate_pairs(blocks), resume)
         if until == "pairs":
             return cand
-        featured = self._stage(
-            "score",
-            lambda: features.feature_matrix(
-                features.with_all_features(
-                    features.hydrate_pairs(cand, wide), dim=cfg.embedding_dim
+        # staged scoring: string features (incl. the Arrow JW) over
+        # a names-only hydrate, then vector hydration + codegen
+        # cosines — same values as the single-phase path (tested),
+        # but the Arrow node never splits the dot-product stage
+        # into an over-64KB codegen method (features.py docstring).
+        # AQE partition COALESCING is suspended for this stage: pair
+        # scoring is byte-skinny but CPU-dense, and byte-based
+        # coalescing collapses it onto a handful of tasks (measured
+        # 2.5x loss at 8 cores on the 8.9M-pair fixture); skew-join
+        # splitting stays enabled.
+        with _no_aqe_coalesce(self.spark):
+            featured = self._stage(
+                "score",
+                lambda: features.staged_feature_matrix(
+                    cand, wide, dim=cfg.embedding_dim, names=ALL_FEATURE_NAMES
                 ),
-                names=ALL_FEATURE_NAMES,
-            ),
-            resume,
-        )
+                resume,
+            )
         if until == "score":
             return featured
 

@@ -15,6 +15,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+_MIN_SHM_FREE_BYTES = 8 << 30  # need real headroom before trusting tmpfs
+
+
+def _local_dir() -> str:
+    """Pick spark.local.dir: explicit $SPARK_GRAFT_LOCAL_DIR wins;
+    otherwise /dev/shm when it has >=8GB free (RAM-backed shuffle),
+    else the standard disk temp dir."""
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        return explicit
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= _MIN_SHM_FREE_BYTES:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "spark-local")
+
+
 def get_spark(
     app_name: str = "entity_resolution_pipeline_v1_spark",
     cpus: int | None = None,
@@ -58,14 +79,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # shuffle/spill space: RAM-backed by default on this RAM-rich
-        # single node (the local analogue of the NVMe scratch a real
-        # cluster provisions per executor) — the root disk writes at
-        # ~370 MB/s and would serialize vector-fat shuffles
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
+        # shuffle/spill space: RAM-backed when /dev/shm is roomy (the
+        # local analogue of the NVMe scratch a real cluster provisions
+        # per executor — this host's root disk writes at ~370 MB/s and
+        # would serialize vector-fat shuffles), but only after probing
+        # free space: containers often cap /dev/shm at 64MB, where
+        # shuffles would die with ENOSPC instead of degrading to disk
+        .config("spark.local.dir", _local_dir())
         # same single-threaded-BLAS discipline on real cluster executors
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

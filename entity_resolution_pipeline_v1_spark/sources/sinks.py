@@ -108,6 +108,16 @@ def record_metrics(df: DataFrame, work_dir: str, stage: str, wall_sec: float | N
     per_part.unionByName(summary).write.mode("append").parquet(metrics_dir)
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the JVM Hadoop FS API
+    (works for file://, hdfs://, s3a://, ... — os.path.exists only
+    sees the local filesystem)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
 def idempotent_upsert(
     df: DataFrame,
     path: str,
@@ -126,11 +136,18 @@ def idempotent_upsert(
     never rewritten. Re-running the same batch is a no-op by value:
     same keys -> same buckets -> same merged content. This is the
     MERGE-by-key discipline expressible on plain parquet; on Iceberg
-    or Delta the same call maps to a native MERGE INTO."""
+    or Delta the same call maps to a native MERGE INTO.
+
+    Duplicate keys WITHIN one batch are collapsed to an arbitrary
+    single row first (dropDuplicates) — 'new wins' is otherwise
+    unspecified inside a batch. Table existence is detected through
+    the Hadoop FileSystem API, so HDFS/S3/ABFS paths work (a plain
+    os.path.exists is local-only and would silently DROP pre-existing
+    rows of touched buckets on remote filesystems)."""
     spark = df.sparkSession
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
-    batch = df.withColumn("bucket", bucket)
-    if os.path.exists(path):
+    batch = df.dropDuplicates([key_col]).withColumn("bucket", bucket)
+    if _hadoop_path_exists(spark, path):
         existing = spark.read.parquet(path)
         touched = batch.select("bucket").distinct()
         keep = (

@@ -110,6 +110,39 @@ def test_fused_features_match_unfused(spark, corpus):
     hydrated.unpersist()
 
 
+def test_staged_feature_matrix_matches_single_phase(spark, corpus):
+    """staged_feature_matrix (two-phase hydration, the pipeline's score
+    stage) must produce the same values as the single-phase
+    with_all_features path over real candidate pairs."""
+    from entity_resolution_pipeline_v1_spark.operators import (
+        blocking, extract, pairs, preprocess,
+    )
+    from entity_resolution_pipeline_v1_spark.operators.features import ALL_FEATURE_NAMES
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    ext = extract.extract_text(P.pages_view(corpus), mode="main")
+    records = preprocess.parse_records(ext)
+    uniq = preprocess.unique_strings(preprocess.long_form(records))
+    emb = preprocess.embed_unique(uniq, 16)
+    wide = preprocess.records_wide(records, emb).cache()
+    cand = pairs.candidate_pairs(
+        blocking.cap_blocks(blocking.build_blocks(records), 2000)
+    ).limit(300).cache()
+    a = features.staged_feature_matrix(cand, wide, dim=16)
+    b = features.feature_matrix(
+        features.with_all_features(features.hydrate_pairs(cand, wide), dim=16),
+        names=ALL_FEATURE_NAMES,
+    )
+    rows_a = {(r["id1"], r["id2"]): r for r in a.collect()}
+    rows_b = {(r["id1"], r["id2"]): r for r in b.collect()}
+    assert rows_a.keys() == rows_b.keys() and rows_a
+    for k in rows_a:
+        for name in ALL_FEATURE_NAMES:
+            assert rows_a[k][name] == pytest.approx(rows_b[k][name], abs=1e-9), (k, name)
+    cand.unpersist()
+    wide.unpersist()
+
+
 def test_reference_dim_1536_cosine_path(spark):
     """At the reference's embedding dimensionality (1536, reference
     config.yml:46) the fused path must auto-switch cosines to the

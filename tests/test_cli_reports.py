@@ -141,6 +141,10 @@ def test_idempotent_upsert(spark, tmp_path):
     out3 = idempotent_upsert(b2, path, "k")
     assert {r["k"]: r["v"] for r in out3.collect()} == got
     assert out3.groupBy("k").count().filter("count > 1").count() == 0
+    # intra-batch duplicate keys collapse to ONE stored row
+    b4 = spark.createDataFrame([("k5", "a"), ("k5", "b")], "k string, v string")
+    out4 = idempotent_upsert(b4, path, "k")
+    assert out4.filter("k = 'k5'").count() == 1
 
 
 def test_read_labeled_pairs_csv(spark, tmp_path):

@@ -76,3 +76,28 @@ def test_entry_runs(spark):
     df = E.entry(spark)
     assert df.columns
     assert df.count() >= 0
+
+
+# Golden-hash oracles for the two queries DuckDB cannot express
+# (xxhash64/md5-bit sketches). The sketches are deterministic by
+# construction (fixed seeds, sketches.py), so the full sf0.001 output
+# is pinned: md5 over the sorted row tuples. Regenerate with
+# tools/golden_hashes.py if the sketch definitions change ON PURPOSE.
+GOLDEN_HASHES = {
+    "simhash_docs": "3d02d5a1a719d7b6e195f7e0000071d1",  # 500 rows
+    "minhash_near_dup": "26925a51e9dbca7143bbeea6a6efd94b",  # 28 rows
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_HASHES))
+def test_sketch_queries_golden_hash(spark, name):
+    import hashlib
+
+    df = E.queries()[name](spark, SF_DIR)
+    rows = sorted(tuple(r) for r in df.collect())
+    got = hashlib.md5(repr(rows).encode()).hexdigest()
+    assert got == GOLDEN_HASHES[name], (
+        f"{name}: output drifted from the pinned golden hash "
+        f"({got} != {GOLDEN_HASHES[name]}); if the sketch definition "
+        f"changed intentionally, regenerate with tools/golden_hashes.py"
+    )

@@ -52,6 +52,39 @@ def test_multimodal_fake_features(spark):
     assert meta["payload_bytes"] == len(b"\x89PNG...")
 
 
+def test_image_header_parse_roundtrip(spark):
+    """REAL decode step: mime/width/height parsed out of actual bytes
+    for PNG (built), GIF, JPEG (hand-crafted segments), and junk."""
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import make_png
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    rows = [
+        ("png", make_png(123, 45)),
+        ("jpg", jpg),
+        ("gif", gif),
+        ("junk", b"not an image at all"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {
+        r["media_id"]: (r["hdr"]["mime"], r["hdr"]["width"], r["hdr"]["height"])
+        for r in df.select(
+            "media_id", multimodal.image_header_udf("payload").alias("hdr")
+        ).collect()
+    }
+    assert out["png"] == ("image/png", 123, 45)
+    assert out["jpg"] == ("image/jpeg", 640, 480)
+    assert out["gif"] == ("image/gif", 320, 200)
+    assert out["junk"] == (None, None, None)
+    assert out["none"] == (None, None, None)
+
+
 def test_multimodal_frame_sampling(spark):
     media = spark.createDataFrame(
         [("v1", "video", b"fakebytes", ("video/mp4", None, None, 3500))],
