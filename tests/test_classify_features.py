@@ -143,6 +143,48 @@ def test_staged_feature_matrix_matches_single_phase(spark, corpus):
     wide.unpersist()
 
 
+@pytest.mark.xfail(
+    reason="known headroom, not a regression: the vector-phase stage "
+    "(SMJ + five 64-term dot projections) exceeds the JVM's 64KB "
+    "codegen method limit — whole-stage codegen cannot split a single "
+    "fused stage's processNext — so Spark silently executes it "
+    "interpreted (all round-3 benchmark numbers INCLUDE this penalty). "
+    "Fix sketched in BASELINE.md: compute per-field cosines on the "
+    "distinct string-hash-pair dictionary (10-30x smaller than the "
+    "pair set, broadcastable back) so no giant expression sits in the "
+    "hot stage. This test flips green when that lands.",
+    strict=True,
+)
+def test_score_stage_compiles_under_strict_codegen(spark, corpus):
+    from entity_resolution_pipeline_v1_spark.operators import (
+        blocking, extract, pairs, preprocess,
+    )
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        records = preprocess.parse_records(
+            extract.extract_text(P.pages_view(corpus), mode="main")
+        )
+        emb = preprocess.embed_unique(
+            preprocess.unique_strings(preprocess.long_form(records)), 64
+        )
+        wide = preprocess.records_wide(records, emb)
+        cand = pairs.candidate_pairs(
+            blocking.cap_blocks(blocking.build_blocks(records), 2000)
+        )
+        featured = features.staged_feature_matrix(cand, wide, dim=64)
+        # parquet write = the pipeline's real score-stage sink; a bare
+        # count() would let Catalyst prune the cosine projections away
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            featured.write.mode("overwrite").parquet(f"{d}/featured")
+            assert spark.read.parquet(f"{d}/featured").count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 def test_reference_dim_1536_cosine_path(spark):
     """At the reference's embedding dimensionality (1536, reference
     config.yml:46) the fused path must auto-switch cosines to the
