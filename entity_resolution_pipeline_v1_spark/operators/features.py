@@ -320,6 +320,7 @@ def staged_feature_matrix(
     wide: DataFrame,
     dim: int = 64,
     names: tuple[str, ...] = ALL_FEATURE_NAMES,
+    cosine_strategy: str = "auto",
 ) -> DataFrame:
     """Two-phase pair scoring: (1) hydrate only the STRING/TOKEN columns
     and compute every string feature — Jaro-Winkler (the one Arrow
@@ -344,6 +345,23 @@ def staged_feature_matrix(
 
     Requires the records_wide precomputed columns (person_norm, token
     arrays, years) — the pipeline's records_wide always has them.
+
+    ``cosine_strategy``:
+      * ``"dict"`` — compute each field's cosine ONCE per distinct
+        (l_hash, r_hash) string pair and join the small per-field
+        result tables back onto the skinny pair frame. Candidate pairs
+        repeat field strings heavily (measured at 60k records: 235k
+        distinct person pairs / 89k subjects / 398k title / 477k
+        provision vs 2.48M candidate pairs), so this shrinks the dot-
+        product work 5-30x per field AND removes the 5 x dim-term
+        expressions from the hot pair stages entirely (they were the
+        codegen-64KB offender — see the strict-codegen test). The
+        result tables are small enough for Catalyst/AQE to broadcast
+        at test scale and degrade to shuffled joins at web scale.
+      * ``"join"`` — hydrate vectors per pair side and evaluate the
+        dot products inline (the round-3 original).
+      * ``"auto"`` — "dict" when records_wide carries the per-field
+        ``{f}_hash`` columns, else "join".
     """
     missing = [c for c in _STRING_PHASE_COLS if c not in wide.columns]
     if missing:

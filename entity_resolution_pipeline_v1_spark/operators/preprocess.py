@@ -134,6 +134,16 @@ def records_wide(
     renames = [F.col("record_id")] + [F.col(f).alias(f"{f}_vec") for f in fields]
     vecs = vecs.select(*renames)
     out = records.join(vecs, on="record_id", how="left")
+    # per-field string-hash identity: lets downstream scoring join
+    # per-field cosines from a DISTINCT-pair dictionary instead of
+    # carrying vectors per pair. xxhash64 longs (8B through every pair
+    # join, vs 48B md5 hex); guarded so NULL values stay NULL (bare
+    # xxhash64(NULL) returns the seed constant, which would alias all
+    # missing values to one key)
+    for f in fields:
+        out = out.withColumn(
+            f"{f}_hash", F.when(F.col(f).isNotNull(), F.xxhash64(F.col(f)))
+        )
     if "person" in records.columns:
         # pair-feature inputs precomputed ONCE PER RECORD instead of
         # once per candidate-pair side: birth/death years (the regex
