@@ -212,7 +212,13 @@ def _jw_group(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
     # re-converting through np.char.str_len)
     len1 = (c1 != 0).sum(axis=1)
     len2 = (c2 != 0).sum(axis=1)
-    d = np.maximum(len1, len2) // 2 - 1  # may be negative -> empty window
+    # clamp the negative window (maxlen <= 1) to 0: the scalar's empty
+    # range(i+1, i) loop finds no matches there, and with d=0 the only
+    # admissible column is j==i, where single-char pairs either differ
+    # (no candidate) or are equal (overridden to 1.0 by the sa==sb
+    # short-circuit) — identical results, and argmax never sees a
+    # zero-width slice (was a ValueError on all-short-string batches)
+    d = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
     dmax = int(d.max())
     j_idx = np.arange(width)
     m1 = np.zeros((n, width), dtype=bool)

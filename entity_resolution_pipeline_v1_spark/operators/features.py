@@ -315,6 +315,30 @@ _STRING_PHASE_COLS = (
 )
 
 
+def _cosine_interactions(df: DataFrame) -> DataFrame:
+    """The six harmonic means + product + ratio over already-computed
+    `{f}_cosine` columns (reference feature set, src/features.py:92-136)."""
+    for a, b in [
+        ("person", "title"),
+        ("person", "provision"),
+        ("person", "subjects"),
+        ("title", "subjects"),
+        ("title", "provision"),
+        ("provision", "subjects"),
+    ]:
+        df = df.withColumn(
+            f"{a}_{b}_harmonic",
+            S.harmonic_mean(F.col(f"{a}_cosine"), F.col(f"{b}_cosine")),
+        )
+    df = df.withColumn(
+        "person_subjects_product", S.product(F.col("person_cosine"), F.col("subjects_cosine"))
+    )
+    return df.withColumn(
+        "composite_subjects_ratio",
+        S.safe_ratio(F.col("composite_cosine"), F.col("subjects_cosine")),
+    )
+
+
 def staged_feature_matrix(
     cand: DataFrame,
     wide: DataFrame,
@@ -325,8 +349,8 @@ def staged_feature_matrix(
     """Two-phase pair scoring: (1) hydrate only the STRING/TOKEN columns
     and compute every string feature — Jaro-Winkler (the one Arrow
     UDF), Levenshtein, the three Jaccards, year-match, low-info — then
-    drop the strings; (2) hydrate the vectors and compute the cosines
-    and their interaction features in the top stage.
+    drop the strings; (2) attach the five cosines and their interaction
+    features in the top stage.
 
     Same values as feature_matrix(with_all_features(hydrate_pairs(...)))
     (tested), different physical plan, two advantages at scale:
@@ -339,9 +363,9 @@ def staged_feature_matrix(
         drops that stage to interpreted mode (~4x slower, measured on
         the 2.5M-pair fixture);
       * the inter-phase frame is skinny (ids + a few doubles), so the
-        extra pair of hydration joins shuffles little, and a caller
-        can insert an early-exit filter on the cheap string features
-        before paying for vector hydration (cascade scoring).
+        extra hydration joins shuffle little, and a caller can insert
+        an early-exit filter on the cheap string features before
+        paying for the cosines (cascade scoring).
 
     Requires the records_wide precomputed columns (person_norm, token
     arrays, years) — the pipeline's records_wide always has them.
@@ -355,31 +379,53 @@ def staged_feature_matrix(
         provision vs 2.48M candidate pairs), so this shrinks the dot-
         product work 5-30x per field AND removes the 5 x dim-term
         expressions from the hot pair stages entirely (they were the
-        codegen-64KB offender — see the strict-codegen test). The
-        result tables are small enough for Catalyst/AQE to broadcast
-        at test scale and degrade to shuffled joins at web scale.
+        codegen-64KB offender — see the strict-codegen test, which
+        this strategy flips green). The result tables are small enough
+        for Catalyst/AQE to broadcast at test scale and degrade to
+        shuffled joins at web scale. Requires the ``{f}_hash`` columns
+        records_wide emits.
       * ``"join"`` — hydrate vectors per pair side and evaluate the
         dot products inline (the round-3 original).
       * ``"auto"`` — "dict" when records_wide carries the per-field
         ``{f}_hash`` columns, else "join".
     """
+    if cosine_strategy not in ("auto", "dict", "join"):
+        raise ValueError(
+            f"cosine_strategy must be 'auto', 'dict' or 'join', got {cosine_strategy!r}"
+        )
     missing = [c for c in _STRING_PHASE_COLS if c not in wide.columns]
     if missing:
         raise ValueError(f"staged_feature_matrix needs records_wide columns, missing: {missing}")
-    # phase 1: string features over a names-only hydrate
+    hash_cols = [f"{f}_hash" for f in EMBED_FIELDS]
+    has_hashes = all(c in wide.columns for c in hash_cols)
+    strategy = cosine_strategy
+    if strategy == "auto":
+        strategy = "dict" if has_hashes else "join"
+    elif strategy == "dict" and not has_hashes:
+        raise ValueError(
+            "cosine_strategy='dict' needs the per-field {f}_hash columns "
+            "records_wide emits; this frame is missing "
+            f"{[c for c in hash_cols if c not in wide.columns]}"
+        )
+    # phase 1: string features over a names-only hydrate. In dict mode
+    # the per-field hash keys ride along (10 longs/row — they are join
+    # keys, not UDF inputs, so they never transit Arrow).
+    carry = hash_cols if strategy == "dict" else []
     sl = wide.select(
         F.col("record_id").alias("id1"),
-        *[F.col(c).alias(f"l_{c}") for c in _STRING_PHASE_COLS],
+        *[F.col(c).alias(f"l_{c}") for c in (*_STRING_PHASE_COLS, *carry)],
     )
     sr = wide.select(
         F.col("record_id").alias("id2"),
-        *[F.col(c).alias(f"r_{c}") for c in _STRING_PHASE_COLS],
+        *[F.col(c).alias(f"r_{c}") for c in (*_STRING_PHASE_COLS, *carry)],
     )
     p = cand.join(sl, on="id1").join(sr, on="id2")
     ly, ry = F.col("l_person_years"), F.col("r_person_years")
     p = p.select(
         "id1",
         "id2",
+        *[F.col(f"l_{c}") for c in carry],
+        *[F.col(f"r_{c}") for c in carry],
         F.coalesce(
             S.jaro_winkler_udf(F.col("l_person_norm"), F.col("r_person_norm")), F.lit(0.0)
         ).alias("person_jaro_winkler"),
@@ -400,39 +446,97 @@ def staged_feature_matrix(
         .alias("low_info_name"),
         Y.year_match(ly["birth"], ly["death"], ry["birth"], ry["death"]).alias("year_match"),
     )
-    # phase 2: vector hydration + codegen cosines on the skinny frame
-    vl = wide.select(
-        F.col("record_id").alias("id1"),
-        *[F.col(f"{f}_vec").alias(f"l_{f}_vec") for f in EMBED_FIELDS],
-    )
-    vr = wide.select(
-        F.col("record_id").alias("id2"),
-        *[F.col(f"{f}_vec").alias(f"r_{f}_vec") for f in EMBED_FIELDS],
-    )
-    df = p.join(vl, on="id1").join(vr, on="id2")
-    for f in EMBED_FIELDS:
-        if dim <= FUSED_COSINE_MAX_DIM:
-            cos = unit_dot_expr(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"), dim)
-        else:
-            cos = S.cosine_udf(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"))
-        df = df.withColumn(f"{f}_cosine", F.coalesce(cos, F.lit(0.0)))
-    for a, b in [
-        ("person", "title"),
-        ("person", "provision"),
-        ("person", "subjects"),
-        ("title", "subjects"),
-        ("title", "provision"),
-        ("provision", "subjects"),
-    ]:
-        df = df.withColumn(
-            f"{a}_{b}_harmonic",
-            S.harmonic_mean(F.col(f"{a}_cosine"), F.col(f"{b}_cosine")),
+    if strategy == "dict":
+        df = _attach_dict_cosines(p, cand, wide, dim)
+    else:
+        # phase 2: vector hydration + codegen cosines on the skinny frame
+        vl = wide.select(
+            F.col("record_id").alias("id1"),
+            *[F.col(f"{f}_vec").alias(f"l_{f}_vec") for f in EMBED_FIELDS],
         )
-    df = df.withColumn(
-        "person_subjects_product", S.product(F.col("person_cosine"), F.col("subjects_cosine"))
+        vr = wide.select(
+            F.col("record_id").alias("id2"),
+            *[F.col(f"{f}_vec").alias(f"r_{f}_vec") for f in EMBED_FIELDS],
+        )
+        df = p.join(vl, on="id1").join(vr, on="id2")
+        for f in EMBED_FIELDS:
+            if dim <= FUSED_COSINE_MAX_DIM:
+                cos = unit_dot_expr(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"), dim)
+            else:
+                cos = S.cosine_udf(F.col(f"l_{f}_vec"), F.col(f"r_{f}_vec"))
+            df = df.withColumn(f"{f}_cosine", F.coalesce(cos, F.lit(0.0)))
+    return feature_matrix(_cosine_interactions(df), names=names)
+
+
+def _attach_dict_cosines(
+    p: DataFrame, cand: DataFrame, wide: DataFrame, dim: int
+) -> DataFrame:
+    """The distinct-pair cosine dictionary (cosine_strategy='dict').
+
+    For each embed field: (1) the DISTINCT (l_hash, r_hash) pairs the
+    candidates actually realize — built from a skinny hash-only
+    hydrate, unpivoted so all five fields dedup in ONE shuffle; (2) a
+    per-field hash -> vector dictionary (one row per distinct string);
+    (3) the dot product evaluated once per distinct pair — a SMALL
+    table per field; (4) a left join of each table back onto the pair
+    frame on (l_hash, r_hash), NULL (missing string / missing vector)
+    coalesced to 0.0 exactly like the inline path.
+
+    Scale shape: the per-pair hot stage carries 10 longs instead of
+    10 x dim floats, never evaluates a dot product, and the dot work
+    itself shrinks by the string-repeat factor (5-30x measured). The
+    per-field cosine tables broadcast under AQE at test scale and
+    degrade to shuffled joins at web scale."""
+    lh = {f: f"l_{f}_hash" for f in EMBED_FIELDS}
+    rh = {f: f"r_{f}_hash" for f in EMBED_FIELDS}
+    hl = wide.select(
+        F.col("record_id").alias("id1"),
+        *[F.col(f"{f}_hash").alias(lh[f]) for f in EMBED_FIELDS],
     )
-    df = df.withColumn(
-        "composite_subjects_ratio",
-        S.safe_ratio(F.col("composite_cosine"), F.col("subjects_cosine")),
+    hr = wide.select(
+        F.col("record_id").alias("id2"),
+        *[F.col(f"{f}_hash").alias(rh[f]) for f in EMBED_FIELDS],
     )
-    return feature_matrix(df, names=names)
+    ph = cand.join(hl, on="id1").join(hr, on="id2")
+    # all five fields' distinct hash pairs in one unpivot + one shuffle;
+    # the per-field branches below re-read that shuffle (exchange reuse)
+    structs = [
+        F.struct(
+            F.lit(f).alias("fld"),
+            F.col(lh[f]).alias("hl"),
+            F.col(rh[f]).alias("hr"),
+        )
+        for f in EMBED_FIELDS
+    ]
+    dist = (
+        ph.select(F.explode(F.array(*structs)).alias("x"))
+        .select("x.fld", "x.hl", "x.hr")
+        .filter(F.col("hl").isNotNull() & F.col("hr").isNotNull())
+        .distinct()
+    )
+    df = p
+    for f in EMBED_FIELDS:
+        # hash -> vector dictionary: one row per distinct string of f
+        hv = (
+            wide.select(F.col(f"{f}_hash").alias("_h"), F.col(f"{f}_vec").alias("_v"))
+            .filter(F.col("_h").isNotNull())
+            .dropDuplicates(["_h"])
+        )
+        if dim <= FUSED_COSINE_MAX_DIM:
+            cos = unit_dot_expr(F.col("_lv"), F.col("_rv"), dim)
+        else:
+            # reference dimensionality (1536): the Arrow einsum now runs
+            # over distinct pairs only — 5-30x less vector traffic
+            cos = S.cosine_udf(F.col("_lv"), F.col("_rv"))
+        ctab = (
+            dist.filter(F.col("fld") == f)
+            .select(F.col("hl").alias(lh[f]), F.col("hr").alias(rh[f]))
+            .join(hv.select(F.col("_h").alias(lh[f]), F.col("_v").alias("_lv")), on=lh[f])
+            .join(hv.select(F.col("_h").alias(rh[f]), F.col("_v").alias("_rv")), on=rh[f])
+            .select(lh[f], rh[f], F.coalesce(cos, F.lit(0.0)).alias(f"{f}_cosine"))
+        )
+        df = df.join(ctab, on=[lh[f], rh[f]], how="left")
+        # left-join miss = NULL hash on either side = missing field
+        # string -> cosine 0.0 (the reference's missing-vector contract)
+        df = df.withColumn(f"{f}_cosine", F.coalesce(F.col(f"{f}_cosine"), F.lit(0.0)))
+    return df.drop(*lh.values(), *rh.values())

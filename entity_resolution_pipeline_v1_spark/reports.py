@@ -48,7 +48,20 @@ def pairwise_metrics(labels: DataFrame, labeled_pairs: DataFrame) -> dict:
     j = (
         lab.join(l1, "id1", "left")
         .join(l2, "id2", "left")
-        .withColumn("pred", F.col("c1").isNotNull() & (F.col("c1") == F.col("c2")))
+        # coalesce to False: labels genuinely miss records (CC only emits
+        # nodes on edges; size filters drop clusters), and `c1 == c2`
+        # with one NULL side yields NULL — those ground-truth pairs
+        # would land in groupBy key (True, NULL), silently escaping fn
+        # and inflating the recall/F1 this function gates at >= 0.99
+        .withColumn(
+            "pred",
+            F.coalesce(
+                F.col("c1").isNotNull()
+                & F.col("c2").isNotNull()
+                & (F.col("c1") == F.col("c2")),
+                F.lit(False),
+            ),
+        )
     )
     cm = {(r["match"], r["pred"]): r["count"] for r in j.groupBy("match", "pred").count().collect()}
     tp = cm.get((True, True), 0)

@@ -110,10 +110,13 @@ def test_fused_features_match_unfused(spark, corpus):
     hydrated.unpersist()
 
 
-def test_staged_feature_matrix_matches_single_phase(spark, corpus):
+@pytest.mark.parametrize("strategy", ["dict", "join"])
+def test_staged_feature_matrix_matches_single_phase(spark, corpus, strategy):
     """staged_feature_matrix (two-phase hydration, the pipeline's score
     stage) must produce the same values as the single-phase
-    with_all_features path over real candidate pairs."""
+    with_all_features path over real candidate pairs — under BOTH
+    cosine strategies ('auto' resolves to 'dict': records_wide carries
+    the {f}_hash columns)."""
     from entity_resolution_pipeline_v1_spark.operators import (
         blocking, extract, pairs, preprocess,
     )
@@ -128,7 +131,7 @@ def test_staged_feature_matrix_matches_single_phase(spark, corpus):
     cand = pairs.candidate_pairs(
         blocking.cap_blocks(blocking.build_blocks(records), 2000)
     ).limit(300).cache()
-    a = features.staged_feature_matrix(cand, wide, dim=16)
+    a = features.staged_feature_matrix(cand, wide, dim=16, cosine_strategy=strategy)
     b = features.feature_matrix(
         features.with_all_features(features.hydrate_pairs(cand, wide), dim=16),
         names=ALL_FEATURE_NAMES,
@@ -143,19 +146,40 @@ def test_staged_feature_matrix_matches_single_phase(spark, corpus):
     wide.unpersist()
 
 
-@pytest.mark.xfail(
-    reason="known headroom, not a regression: the vector-phase stage "
-    "(SMJ + five 64-term dot projections) exceeds the JVM's 64KB "
-    "codegen method limit — whole-stage codegen cannot split a single "
-    "fused stage's processNext — so Spark silently executes it "
-    "interpreted (all round-3 benchmark numbers INCLUDE this penalty). "
-    "Fix sketched in BASELINE.md: compute per-field cosines on the "
-    "distinct string-hash-pair dictionary (10-30x smaller than the "
-    "pair set, broadcastable back) so no giant expression sits in the "
-    "hot stage. This test flips green when that lands.",
-    strict=True,
-)
+def test_staged_feature_matrix_strategy_validation(spark, corpus):
+    from entity_resolution_pipeline_v1_spark.operators import extract, preprocess
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    records = preprocess.parse_records(
+        extract.extract_text(P.pages_view(corpus), mode="main")
+    )
+    emb = preprocess.embed_unique(
+        preprocess.unique_strings(preprocess.long_form(records)), 16
+    )
+    wide = preprocess.records_wide(records, emb)
+    cand = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
+    with pytest.raises(ValueError, match="cosine_strategy"):
+        features.staged_feature_matrix(cand, wide, dim=16, cosine_strategy="bogus")
+    # explicit 'dict' without the hash columns must refuse, not silently
+    # fall back (the round-3 dead-parameter seam, ADVICE r3-medium)
+    no_hashes = wide.drop(*[f"{f}_hash" for f in features.EMBED_FIELDS])
+    with pytest.raises(ValueError, match="_hash"):
+        features.staged_feature_matrix(cand, no_hashes, dim=16, cosine_strategy="dict")
+    # 'auto' without hashes falls back to the inline-join plan
+    assert features.staged_feature_matrix(cand, no_hashes, dim=16).columns
+    # 'auto' WITH hashes resolves to dict: the plan joins the per-field
+    # cosine tables instead of hydrating any `{f}_vec` column per pair
+    auto_plan = features.staged_feature_matrix(cand, wide, dim=16)._jdf.queryExecution().optimizedPlan().toString()
+    assert "l_person_vec" not in auto_plan
+
+
 def test_score_stage_compiles_under_strict_codegen(spark, corpus):
+    """Round-3's strict xfail, flipped green by cosine_strategy='dict':
+    the per-pair hot stages now carry hash keys instead of vectors and
+    never evaluate a dim-term dot product, so no projection exceeds the
+    JVM's 64KB codegen method limit — the whole score plan compiles
+    under spark.sql.codegen.fallback=false (interpreted fallback
+    disabled)."""
     from entity_resolution_pipeline_v1_spark.operators import (
         blocking, extract, pairs, preprocess,
     )

@@ -112,6 +112,25 @@ def test_matches_per_entity(spark):
     assert stats["n_entities"] == 3 and stats["mean_matches"] == pytest.approx(2.0)
 
 
+def test_pairwise_metrics_counts_unlabeled_records_as_misses(spark):
+    """A ground-truth match pair whose second record carries NO cluster
+    label (CC only emits nodes on edges; size filters drop clusters)
+    must count as a FALSE NEGATIVE, not vanish into a (True, NULL)
+    confusion-matrix key and inflate recall (ADVICE r3-medium)."""
+    labels = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "record_id string, cluster_id int"
+    )
+    truth = spark.createDataFrame(
+        # (a,b) clustered together: tp. (a,x): x is a singleton with no
+        # label row at all -> fn. (b,y): likewise fn.
+        [("a", "b", True), ("a", "x", True), ("b", "y", True)],
+        "left string, right string, match boolean",
+    )
+    m = reports.pairwise_metrics(labels, truth)
+    assert m["tp"] == 1 and m["fn"] == 2 and m["fp"] == 0
+    assert m["recall"] == pytest.approx(1 / 3)
+
+
 def test_feature_means(spark):
     df = spark.createDataFrame(
         [(1.0, 0.2, True), (0.8, 0.4, True), (0.1, 0.9, False)],

@@ -98,6 +98,38 @@ def test_cosine_expr_matches_udf(spark):
         assert r["u"] == pytest.approx(r["e"], rel=1e-5)
 
 
+def test_jw_batch_matches_scalar_including_single_char():
+    """The vectorized JW must (a) survive a batch whose longest string
+    is a single char — the (0,8] bucket then has an EMPTY match window
+    (d = -1), which crashed argmax before the round-4 clamp (ADVICE
+    r3-high) — and (b) agree with the scalar implementation pairwise."""
+    from entity_resolution_pipeline_v1_spark.functions.similarity import (
+        _jaro_winkler,
+        _jaro_winkler_batch,
+    )
+
+    # the ADVICE repro: all-single-char batch
+    sa = np.array(["a", "b", "c"], dtype=object)
+    sb = np.array(["b", "a", "c"], dtype=object)
+    assert _jaro_winkler_batch(sa, sb).tolist() == [0.0, 0.0, 1.0]
+    # randomized parity vs the scalar, short strings included
+    rng = np.random.RandomState(3)
+    alpha = np.array(list("abcdef "))
+    pairs = [
+        (
+            "".join(rng.choice(alpha, rng.randint(0, 12))),
+            "".join(rng.choice(alpha, rng.randint(0, 12))),
+        )
+        for _ in range(300)
+    ]
+    got = _jaro_winkler_batch(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+    )
+    for (x, y), g in zip(pairs, got):
+        assert g == pytest.approx(_jaro_winkler(x, y), abs=1e-12), (x, y)
+
+
 def test_jaro_winkler(spark):
     df = spark.createDataFrame(
         [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("abc", "abc"), ("", "abc"), (None, "x")],
