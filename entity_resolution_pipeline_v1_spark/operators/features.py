@@ -386,8 +386,16 @@ def staged_feature_matrix(
         records_wide emits.
       * ``"join"`` — hydrate vectors per pair side and evaluate the
         dot products inline (the round-3 original).
-      * ``"auto"`` — "dict" when records_wide carries the per-field
-        ``{f}_hash`` columns, else "join".
+      * ``"auto"`` — dim-based, from measurement (60k-record fixture,
+        local[8], broadcast off): at dim 64 the fused-codegen inline
+        dots win 2x (97.5k vs 48.2k pairs/s — the dict plan's extra
+        pair-frame shuffle joins cost more than the one interpreted
+        stage they avoid), while at the reference's dim 1536 the dict
+        plan wins 5.2x (7,272 vs 1,386 pairs/s — per-pair vector
+        hydration ships ~61KB/pair and the Arrow cosine UDF runs over
+        every pair instead of every distinct pair). So: "join" when
+        ``dim <= FUSED_COSINE_MAX_DIM``, else "dict" when records_wide
+        carries the per-field ``{f}_hash`` columns, else "join".
     """
     if cosine_strategy not in ("auto", "dict", "join"):
         raise ValueError(
@@ -400,7 +408,7 @@ def staged_feature_matrix(
     has_hashes = all(c in wide.columns for c in hash_cols)
     strategy = cosine_strategy
     if strategy == "auto":
-        strategy = "dict" if has_hashes else "join"
+        strategy = "dict" if (dim > FUSED_COSINE_MAX_DIM and has_hashes) else "join"
     elif strategy == "dict" and not has_hashes:
         raise ValueError(
             "cosine_strategy='dict' needs the per-field {f}_hash columns "

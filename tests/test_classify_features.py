@@ -167,19 +167,35 @@ def test_staged_feature_matrix_strategy_validation(spark, corpus):
         features.staged_feature_matrix(cand, no_hashes, dim=16, cosine_strategy="dict")
     # 'auto' without hashes falls back to the inline-join plan
     assert features.staged_feature_matrix(cand, no_hashes, dim=16).columns
-    # 'auto' WITH hashes resolves to dict: the plan joins the per-field
-    # cosine tables instead of hydrating any `{f}_vec` column per pair
-    auto_plan = features.staged_feature_matrix(cand, wide, dim=16)._jdf.queryExecution().optimizedPlan().toString()
-    assert "l_person_vec" not in auto_plan
+
+    def plan(**kw):
+        return (
+            features.staged_feature_matrix(cand, wide, **kw)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    # 'auto' is dim-based (measured, see the docstring): small dims keep
+    # the fused inline dots (per-pair vector hydration in the plan) ...
+    assert "l_person_vec" in plan(dim=16)
+    # ... above FUSED_COSINE_MAX_DIM it switches to the distinct-pair
+    # dictionary: no `{f}_vec` column is ever hydrated per pair
+    assert "l_person_vec" not in plan(dim=features.FUSED_COSINE_MAX_DIM + 1)
+    # explicit 'dict' honors the request at any dim
+    assert "l_person_vec" not in plan(dim=16, cosine_strategy="dict")
 
 
 def test_score_stage_compiles_under_strict_codegen(spark, corpus):
     """Round-3's strict xfail, flipped green by cosine_strategy='dict':
-    the per-pair hot stages now carry hash keys instead of vectors and
+    the per-pair hot stages carry hash keys instead of vectors and
     never evaluate a dim-term dot product, so no projection exceeds the
     JVM's 64KB codegen method limit — the whole score plan compiles
     under spark.sql.codegen.fallback=false (interpreted fallback
-    disabled)."""
+    disabled). 'dict' is requested explicitly: at dim 64 'auto'
+    deliberately keeps the inline-join plan, whose one interpreted
+    stage is 2x cheaper than the dict plan's extra shuffles (measured
+    — see the staged_feature_matrix docstring); this test pins that
+    the strict-codegen-clean plan EXISTS and is what 'auto' selects at
+    reference dimensionality (1536)."""
     from entity_resolution_pipeline_v1_spark.operators import (
         blocking, extract, pairs, preprocess,
     )
@@ -197,7 +213,9 @@ def test_score_stage_compiles_under_strict_codegen(spark, corpus):
         cand = pairs.candidate_pairs(
             blocking.cap_blocks(blocking.build_blocks(records), 2000)
         )
-        featured = features.staged_feature_matrix(cand, wide, dim=64)
+        featured = features.staged_feature_matrix(
+            cand, wide, dim=64, cosine_strategy="dict"
+        )
         # parquet write = the pipeline's real score-stage sink; a bare
         # count() would let Catalyst prune the cosine projections away
         import tempfile
