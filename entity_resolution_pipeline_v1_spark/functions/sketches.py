@@ -146,17 +146,18 @@ def simhash_udf(tokens: pd.Series) -> pd.Series:
     rows with one np.add.at — no per-bit Python loops."""
     n = len(tokens)
     out = np.zeros(n, dtype=np.int64)
-    row_idx: list[int] = []
-    toks: list[str] = []
-    for i, tl in enumerate(tokens):
-        if tl is None or len(tl) == 0:
-            continue
-        for t in set(tl):
-            row_idx.append(i)
-            toks.append(t)
-    if not toks:
+    # row -> token flattening, C-side: explode repeats the row index per
+    # token; drop_duplicates on (row, token) reproduces the scalar
+    # definition's per-row set() (np.add.at is order-insensitive, so
+    # losing set()'s ordering cannot change the accumulated signs)
+    flat = tokens.reset_index(drop=True).explode().dropna()
+    if len(flat) == 0:
         return pd.Series(out)
-    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    pairs = pd.DataFrame(
+        {"r": flat.index.to_numpy(), "t": flat.to_numpy()}
+    ).drop_duplicates()
+    row_idx = pairs["r"].to_numpy()
+    uniq, inv = np.unique(pairs["t"].to_numpy(dtype=object), return_inverse=True)
     digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in uniq)
     bits = np.unpackbits(
         np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
@@ -165,7 +166,7 @@ def simhash_udf(tokens: pd.Series) -> pd.Series:
     ).astype(np.int32)
     signs = bits * 2 - 1  # (n_uniq_tokens, 64)
     acc = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(acc, np.asarray(row_idx), signs[inv])
+    np.add.at(acc, row_idx, signs[inv])
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     sims = ((acc > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
     return pd.Series(sims.view(np.int64))
