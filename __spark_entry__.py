@@ -536,6 +536,29 @@ def _q_media_header(spark, sf_dir):
     )
 
 
+def _q_media_av_header(spark, sf_dir):
+    # REAL audio/video metadata decode: synthesize structurally-valid
+    # WAV (even doc_id) / MP4 (odd doc_id; mvhd v0/v1 alternating by
+    # duration parity) payloads, then parse mime + duration_ms back
+    # OUT OF THE BYTES (multimodal.av_header_udf). The oracle predicts
+    # both arithmetically — any builder/parser drift breaks the hash.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        av_header_udf,
+        make_av_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kind = F.when(F.col("doc_id") % 2 == 0, "audio").otherwise("video")
+    dur = (F.col("doc_id") % 9000 + 100).cast("long")
+    media = d.select("doc_id", make_av_udf(kind, dur).alias("payload"))
+    parsed = media.select("doc_id", av_header_udf("payload").alias("hdr"))
+    return parsed.select(
+        "doc_id",
+        F.col("hdr.mime").alias("mime"),
+        F.col("hdr.duration_ms").alias("duration_ms"),
+    )
+
+
 def _q_matches_per_entity(spark, sf_dir):
     # A7: match edges touching each entity (reference analysis.py
     # 'most connected entities')
@@ -610,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_impute": _q_knn_impute,
         "media_meta": _q_media_meta,
         "media_header": _q_media_header,
+        "media_av_header": _q_media_av_header,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
         "cluster_stats": _q_cluster_stats,
@@ -915,6 +939,13 @@ def oracle_sql() -> dict[str, str]:
                    'image/png' AS mime,
                    CAST(doc_id % 640 + 1 AS INTEGER) AS width,
                    CAST(doc_id % 480 + 1 AS INTEGER) AS height
+            FROM documents
+        """,
+        "media_av_header": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   CAST(doc_id % 9000 + 100 AS BIGINT) AS duration_ms
             FROM documents
         """,
         "connected_components": """

@@ -128,6 +128,148 @@ def make_png_udf(width: pd.Series, height: pd.Series) -> pd.Series:
     )
 
 
+def _parse_av_header(b: bytes | None) -> tuple[str | None, int | None]:
+    """(mime, duration_ms) from raw audio/video container bytes — pure
+    byte parsing, no codec library. Supports WAV/RIFF (fmt byte-rate +
+    data chunk size) and MP4 (top-level box walk to moov/mvhd,
+    version 0 and 1 layouts). Unknown/truncated -> (None, None)."""
+    if not b or len(b) < 12:
+        return (None, None)
+    # WAV: 'RIFF' size(4 LE) 'WAVE', then chunks [id(4) size(4 LE) data]
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, n = 12, len(b)
+        byte_rate: int | None = None
+        data_size: int | None = None
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 + 8 <= n:
+                # fmt: format(2) channels(2) sample_rate(4) byte_rate(4) ...
+                byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_size = csize
+            # chunks are word-aligned: odd sizes carry a pad byte
+            i += 8 + csize + (csize & 1)
+        if byte_rate and data_size is not None:
+            return ("audio/wav", data_size * 1000 // byte_rate)
+        return ("audio/wav", None)
+    # MP4: top-level boxes [size(4 BE) type(4)]; ftyp first, then moov
+    # whose mvhd child carries timescale + duration
+    if b[4:8] == b"ftyp":
+        i, n = 0, len(b)
+        while i + 8 <= n:
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            if size < 8:
+                break
+            if btype == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    csize = int.from_bytes(b[j : j + 4], "big")
+                    if csize < 8:
+                        break
+                    if b[j + 4 : j + 8] == b"mvhd" and j + 12 <= end:
+                        v = b[j + 8]
+                        if v == 1 and j + 40 <= end:
+                            # v1: ver/flags(4) ctime(8) mtime(8)
+                            # timescale(4) duration(8)
+                            ts = int.from_bytes(b[j + 28 : j + 32], "big")
+                            dur = int.from_bytes(b[j + 32 : j + 40], "big")
+                        elif v == 0 and j + 28 <= end:
+                            # v0: ver/flags(4) ctime(4) mtime(4)
+                            # timescale(4) duration(4)
+                            ts = int.from_bytes(b[j + 20 : j + 24], "big")
+                            dur = int.from_bytes(b[j + 24 : j + 28], "big")
+                        else:
+                            return ("video/mp4", None)
+                        if ts:
+                            return ("video/mp4", dur * 1000 // ts)
+                        return ("video/mp4", None)
+                    j += csize
+            i += size
+        return ("video/mp4", None)
+    return (None, None)
+
+
+AV_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(AV_HEADER_SCHEMA)
+def av_header_udf(payload: pd.Series) -> pd.DataFrame:
+    """REAL audio/video metadata decode (not stubbed): container-header
+    parse of WAV/MP4 payloads -> (mime, duration_ms). Sample/frame
+    decode stays stubbed (no codecs in this container); the duration
+    comes from the actual bytes."""
+    rows = [_parse_av_header(b) for b in payload]
+    return pd.DataFrame(rows, columns=["mime", "duration_ms"])
+
+
+def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Minimal structurally-valid WAV bytes (RIFF + fmt + empty-ish
+    data chunk sized to the requested duration; 16-bit mono PCM).
+    Deterministic payload generator for tests and oracle queries —
+    _parse_av_header recovers duration_ms exactly."""
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    data_size = duration_ms * byte_rate // 1000
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    # data chunk declares its size; payload bytes themselves are
+    # elided (header parse never reads samples)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + data_size.to_bytes(4, "little")
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def make_mp4(duration_ms: int, version: int = 0) -> bytes:
+    """Minimal structurally-valid MP4 bytes (ftyp + moov/mvhd with
+    timescale 1000 so duration == duration_ms; mvhd version 0 or 1).
+    Deterministic payload generator — _parse_av_header recovers
+    duration_ms exactly."""
+    if version == 1:
+        mvhd_body = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big")  # ctime
+            + (0).to_bytes(8, "big")  # mtime
+            + (1000).to_bytes(4, "big")  # timescale
+            + duration_ms.to_bytes(8, "big")
+        )
+    else:
+        mvhd_body = (
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big")
+            + (0).to_bytes(4, "big")
+            + (1000).to_bytes(4, "big")
+            + duration_ms.to_bytes(4, "big")
+        )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + (0).to_bytes(4, "big")
+    return ftyp + moov
+
+
+@F.pandas_udf(T.BinaryType())
+def make_av_udf(kind: pd.Series, duration_ms: pd.Series) -> pd.Series:
+    """Deterministic WAV ('audio') / MP4 ('video') payload per row."""
+    return pd.Series(
+        [
+            make_wav(int(d)) if k == "audio" else make_mp4(int(d), version=int(d) % 2)
+            for k, d in zip(kind, duration_ms)
+        ],
+        dtype=object,
+    )
+
+
 def _fake_feature(payload: bytes | None, dim: int) -> list[float] | None:
     """Deterministic stand-in for a real decode+embed: md5-seeded
     pseudo-features. NOT a real decoder — see module docstring."""

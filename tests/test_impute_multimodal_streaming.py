@@ -85,6 +85,38 @@ def test_image_header_parse_roundtrip(spark):
     assert out["none"] == (None, None, None)
 
 
+def test_av_header_parse_roundtrip(spark):
+    """REAL audio/video metadata decode: duration_ms parsed out of
+    actual WAV/RIFF and MP4 mvhd (v0 AND v1) bytes, junk and
+    truncation -> NULLs (never a crash)."""
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4,
+        make_wav,
+    )
+
+    rows = [
+        ("wav", make_wav(4273)),
+        ("mp4v0", make_mp4(86_400_000, version=0)),
+        ("mp4v1", make_mp4(7, version=1)),
+        ("wav_trunc", make_wav(500)[:14]),
+        ("junk", b"garbage bytes here"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {
+        r["media_id"]: (r["hdr"]["mime"], r["hdr"]["duration_ms"])
+        for r in df.select(
+            "media_id", multimodal.av_header_udf("payload").alias("hdr")
+        ).collect()
+    }
+    assert out["wav"] == ("audio/wav", 4273)
+    assert out["mp4v0"] == ("video/mp4", 86_400_000)
+    assert out["mp4v1"] == ("video/mp4", 7)
+    assert out["wav_trunc"] == ("audio/wav", None)
+    assert out["junk"] == (None, None)
+    assert out["none"] == (None, None)
+
+
 def test_multimodal_frame_sampling(spark):
     media = spark.createDataFrame(
         [("v1", "video", b"fakebytes", ("video/mp4", None, None, 3500))],
