@@ -87,12 +87,14 @@ def _sf_label(path: str) -> float:
 
 
 def run_queries() -> dict:
-    """Default mode: headline queries + ER throughput + the north-rule
-    scaling evidence (local[8] vs local[32] in fresh subprocesses), all
-    in ONE JSON line."""
+    """Default mode: the north-rule scaling evidence FIRST (cleanest
+    measurement window — before the 32-core headline phase heats the
+    host and leaves page-cache/JIT residue), then headline queries +
+    ER throughput, all in ONE JSON line."""
     import __spark_entry__ as E
     from entity_resolution_pipeline_v1_spark.session import get_spark
 
+    scaling = run_scaling()
     spark = get_spark(app_name="bench", cpus=CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -103,11 +105,15 @@ def run_queries() -> dict:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         del n
+        # queries are timed independently and read parquet fresh — drop
+        # any cache a query persisted for its own internal reuse (e.g.
+        # minhash signatures) so it can't occupy memory for the rest of
+        # the session
+        spark.catalog.clearCache()
     # ER pipeline throughput: blocks -> pairs -> features -> classify
     pairs_scored, er_sec, fam_stats = er_throughput(spark, ER_RECORDS)
     timings["er_pipeline"] = round(er_sec, 3)
-    spark.stop()  # free the big-JVM before the scaling subprocesses run
-    scaling = run_scaling()
+    spark.stop()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -166,34 +172,36 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
     cfg = PipelineConfig()
     # byte-skinny + CPU-dense workload: AQE byte-based partition
     # coalescing would throttle it (see run_score_worker) — suspend
-    # for the ER pipeline run, restore after
-    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    t0 = time.time()
-    corpus = P.generate_corpus(spark, n_records=n_records, seed=42)
-    pg = P.pages_view(corpus)
-    ext = extract.extract_text(pg, mode="main")
-    records = ckpt(preprocess.parse_records(ext), "records")
-    uniq = preprocess.unique_strings(preprocess.long_form(records))
-    emb = preprocess.embed_unique(uniq, cfg.embedding_dim)
-    wide = ckpt(preprocess.records_wide(records, emb), "wide")
-    blocks = ckpt(
-        blocking.cap_blocks(blocking.build_blocks(records), cfg.max_block_size), "blocks"
-    )
-    # spread the Python-touching scoring stage across all cores: AQE
-    # coalesces the (byte-small) pair shuffle to a handful of
-    # partitions, which would serialize the fused-feature pandas UDF
-    par = spark.sparkContext.defaultParallelism * 2
-    cand = ckpt(pairs.candidate_pairs(blocks).repartition(par), "cand")
-    featured = features.staged_feature_matrix(cand, wide, dim=cfg.embedding_dim)
-    model = classify.Model.golden()
-    scored = classify.classify_pairs(featured, model, cfg, year_match_col=F.col("year_match"))
-    # aggregate over confidence so Catalyst cannot prune the feature
-    # columns away — a bare count() would skip the scoring work entirely
-    row = scored.agg(F.count("*").alias("n"), F.sum("confidence").alias("s")).collect()[0]
-    assert row["s"] is not None
-    er_sec = time.time() - t0
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+    # for the ER pipeline run via the same try/finally contextmanager
+    # the pipeline uses (an exception mid-benchmark must not leave AQE
+    # coalescing disabled for later work in the session)
+    from entity_resolution_pipeline_v1_spark.plans.pipeline import _no_aqe_coalesce
+
+    with _no_aqe_coalesce(spark):
+        t0 = time.time()
+        corpus = P.generate_corpus(spark, n_records=n_records, seed=42)
+        pg = P.pages_view(corpus)
+        ext = extract.extract_text(pg, mode="main")
+        records = ckpt(preprocess.parse_records(ext), "records")
+        uniq = preprocess.unique_strings(preprocess.long_form(records))
+        emb = preprocess.embed_unique(uniq, cfg.embedding_dim)
+        wide = ckpt(preprocess.records_wide(records, emb), "wide")
+        blocks = ckpt(
+            blocking.cap_blocks(blocking.build_blocks(records), cfg.max_block_size), "blocks"
+        )
+        # spread the Python-touching scoring stage across all cores: AQE
+        # coalesces the (byte-small) pair shuffle to a handful of
+        # partitions, which would serialize the fused-feature pandas UDF
+        par = spark.sparkContext.defaultParallelism * 2
+        cand = ckpt(pairs.candidate_pairs(blocks).repartition(par), "cand")
+        featured = features.staged_feature_matrix(cand, wide, dim=cfg.embedding_dim)
+        model = classify.Model.golden()
+        scored = classify.classify_pairs(featured, model, cfg, year_match_col=F.col("year_match"))
+        # aggregate over confidence so Catalyst cannot prune the feature
+        # columns away — a bare count() would skip the scoring work entirely
+        row = scored.agg(F.count("*").alias("n"), F.sum("confidence").alias("s")).collect()[0]
+        assert row["s"] is not None
+        er_sec = time.time() - t0
     fam = {
         r["family"]: {"n_keys": int(r["n_keys"]), "n_pairs": int(r["n_pairs"])}
         for r in blocking.family_pair_stats(blocks).collect()
@@ -378,8 +386,31 @@ def _wait_new_jvms_gone(before: set[str], timeout_sec: int = 90) -> bool:
     return False
 
 
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def _cooldown(max_wait_sec: int = 120, settle_load: float = 4.0) -> float:
+    """Wait for transient external host load to decay before a scaling
+    point starts (the round-3 driver run shows the signature of exactly
+    this: local[8] throughput 19k -> 21k -> 39k monotonically recovering
+    across attempts while local[2] stayed flat). Returns the 1-min
+    loadavg the point actually starts under."""
+    deadline = time.time() + max_wait_sec
+    load = _loadavg()
+    while load > settle_load and time.time() < deadline:
+        time.sleep(5)
+        load = _loadavg()
+    return load
+
+
 def _score_point(cpus: int, fixture_dir: str) -> dict:
     jvms_before = _java_pids()
+    start_load = _cooldown()
     s0, t0 = _cpu_stat()
     proc = subprocess.run(
         [sys.executable, __file__, "--score-worker", str(cpus),
@@ -391,11 +422,13 @@ def _score_point(cpus: int, fixture_dir: str) -> dict:
     res = json.loads(line)
     if t1 > t0:
         res["host_steal_pct"] = round(100.0 * (s1 - s0) / (t1 - t0), 1)
+    res["loadavg_at_start"] = start_load
+    res["loadavg_at_end"] = _loadavg()
     res["jvm_clean_exit"] = _wait_new_jvms_gone(jvms_before)
     return res
 
 
-def run_scaling(max_attempts: int = 3) -> dict:
+def run_scaling(max_attempts: int = 5) -> dict:
     """Pairs-scored/sec at N vs 4N cores on IDENTICAL pre-built input —
     fresh subprocess per point so the JVM/master is really re-sized.
 

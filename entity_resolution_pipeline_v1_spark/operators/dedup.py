@@ -16,6 +16,9 @@ runs on LSH-candidate pairs — the usual 100-TB-safe shape.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +94,7 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     persist_signatures: bool = True,
     max_block: int = 5000,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with true shingle-Jaccard verification:
     (id1, id2, jaccard >= threshold) — `jaccard` is always the EXACT
@@ -112,11 +116,13 @@ def minhash_lsh_dedup(
     MEMORY_AND_DISK (spill-safe) because the plan reads them three
     times (band keys + both estimate sides); pass
     ``persist_signatures=False`` to recompute instead — the right
-    trade when executor memory is the constraint. The persisted handle
-    is exposed on the result as ``result.minhash_signatures`` so a
-    caller that owns the session can ``.unpersist()`` it once the
-    returned plan is materialized (repeated calls otherwise accumulate
-    cached blocks for the session lifetime).
+    trade when executor memory is the constraint. A caller that owns
+    the session should either pass ``persisted`` (a list the persisted
+    signature frame is appended to, to ``.unpersist()`` once the
+    returned plan is materialized) or use
+    :func:`minhash_lsh_dedup_scoped`, which unpersists
+    deterministically on scope exit — repeated unmanaged calls
+    accumulate cached blocks for the session lifetime.
 
     ``max_block`` caps degenerate band keys the same way
     minhash_candidates does: a boilerplate-heavy shard (identical
@@ -178,10 +184,25 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= t)
         .select("id1", "id2", "jaccard")
     )
-    if persist_signatures:
-        # let session-owning callers unpersist after materialization
-        out.minhash_signatures = staged
+    if persist_signatures and persisted is not None:
+        # explicit handle transfer (a dynamic attribute on the returned
+        # DataFrame would vanish on the first .filter/.select)
+        persisted.append(staged)
     return out
+
+
+@contextmanager
+def minhash_lsh_dedup_scoped(docs: DataFrame, **kwargs) -> Iterator[DataFrame]:
+    """minhash_lsh_dedup with deterministic cache cleanup: materialize
+    the yielded frame INSIDE the block; the persisted signature blocks
+    are unpersisted on exit (even on error), so repeated calls cannot
+    accumulate cached blocks for the session lifetime."""
+    handles: list[DataFrame] = []
+    try:
+        yield minhash_lsh_dedup(docs, persisted=handles, **kwargs)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 def simhash_dedup(

@@ -48,16 +48,22 @@ def test_minhash_lsh_dedup_hot_block_cap(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     # cap below the boilerplate block size: every boilerplate band key
     # has 40 members -> all capped; the pair (100,101) must survive
-    out = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5, max_block=10)
-    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    with dedup.minhash_lsh_dedup_scoped(docs, jaccard_threshold=0.5, max_block=10) as out:
+        got = {(r["id1"], r["id2"]) for r in out.collect()}
     assert all(i1 >= 100 for i1, _ in got), f"boilerplate pairs leaked: {sorted(got)[:5]}"
     assert (100, 101) in got
-    out.minhash_signatures.unpersist()
-    # sanity: without the cap the boilerplate pairs DO appear
-    uncapped = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5, max_block=5000)
+    # sanity: without the cap the boilerplate pairs DO appear; also the
+    # explicit handle-list API unpersists what it says it persisted
+    handles: list = []
+    uncapped = dedup.minhash_lsh_dedup(
+        docs, jaccard_threshold=0.5, max_block=5000, persisted=handles
+    )
     got2 = {(r["id1"], r["id2"]) for r in uncapped.collect()}
     assert (0, 1) in got2
-    uncapped.minhash_signatures.unpersist()
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory
+    for h in handles:
+        h.unpersist()
+    assert not handles[0].storageLevel.useMemory
 
 
 def test_simhash_dedup(docs):
