@@ -138,6 +138,69 @@ def test_streaming_block_keys(spark, corpus, tmp_path):
     assert set(got.columns) == {"record_id", "block_key"}
 
 
+def test_streaming_block_keys_match_batch(spark, corpus, tmp_path):
+    """Incremental ingest must emit EXACTLY the block keys the batch
+    path computes on the same pages — the contract that lets a
+    downstream batch job re-pair only affected blocks."""
+    from entity_resolution_pipeline_v1_spark.operators import blocking, extract, preprocess
+
+    pages_dir = str(tmp_path / "pages_parity")
+    pages = P.pages_view(corpus).limit(50)
+    pages.write.mode("overwrite").parquet(pages_dir)
+    ingest.run_to_memory(
+        ingest.block_keys_stream(ingest.read_pages_stream(spark, pages_dir, max_files=2)),
+        "blk_parity",
+    )
+    got = {
+        (r["record_id"], r["block_key"])
+        for r in spark.sql("select * from blk_parity").collect()
+    }
+    batch = blocking.build_blocks(
+        preprocess.parse_records(
+            extract.extract_text(spark.read.parquet(pages_dir), mode="main")
+        ),
+        use_sorted_neighborhood=False,
+    )
+    want = {(r["record_id"], r["block_key"]) for r in batch.collect()}
+    assert got == want and got
+
+
+def test_streaming_watermark_closes_windows(spark, tmp_path):
+    """Real watermark semantics in append mode: a window is emitted
+    only once the event-time watermark (max ts - 10 min) passes its
+    end. Micro-batch 1 (ts 10:00) emits nothing; micro-batch 2
+    (ts 10:30) advances the watermark to 10:20, closing the 10:00
+    window — and ONLY that one."""
+    import datetime as dt
+
+    def rows(ts, n, lang):
+        t = dt.datetime(2026, 1, 1, *ts)
+        return [(f"u{ts}{i}", t, None, "body text", lang) for i in range(n)]
+
+    pages_dir = str(tmp_path / "pages_wm")
+    spark.createDataFrame(rows((10, 0), 3, "en"), ingest.PAGES_DDL) \
+        .write.mode("overwrite").parquet(pages_dir)
+    agg = ingest.page_rate_stats(
+        ingest.read_pages_stream(spark, pages_dir), window="1 minute"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from wm_out").count() == 0  # window still open
+        spark.createDataFrame(rows((10, 30), 2, "de"), ingest.PAGES_DDL) \
+            .write.mode("append").parquet(pages_dir)
+        q.processAllAvailable()
+        out = spark.sql("select window.start as s, lang, n_pages from wm_out").collect()
+    finally:
+        q.stop()
+    assert [(r["s"].minute, r["lang"], r["n_pages"]) for r in out] == [(0, "en", 3)]
+
+
 def test_streaming_page_rate(spark, corpus, tmp_path):
     pages_dir = str(tmp_path / "pages_stream2")
     P.pages_view(corpus).limit(100).write.mode("overwrite").parquet(pages_dir)
