@@ -121,7 +121,6 @@ class PipelineConfig:
 
     # execution
     checkpoint_dir: str = "/tmp/erp_spark_work"
-    checkpoint_interval: int = 5  # CC lineage checkpoint cadence
     # write the report file set (summary/match_pairs/cluster stats/
     # model params/feature correlation) under <checkpoint_dir>/reports
     # after the cluster stage (reference src/reporting.py:85-160)

@@ -5,8 +5,9 @@ The reference materializes a networkx graph on one machine
 engine implements the iterative **large-star / small-star** algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
 SoCC'14) purely as DataFrame ops: each round is two groupBy/join
-shuffles, converging in O(log n) rounds; lineage is cut with
-localCheckpoint every `checkpoint_interval` rounds.
+shuffles, converging in O(log n) rounds; lineage is cut with an
+eager localCheckpoint every round (the edge set shrinks toward stars,
+so each materialization is smaller than the last).
 
 Labels come out as (record_id, cluster_id=min record in component),
 then size filtering + dense relabeling (G5, src/clustering.py:163-195).
@@ -65,7 +66,6 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
-    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """edges(src, dst) -> labels(record_id, cluster_id).
 

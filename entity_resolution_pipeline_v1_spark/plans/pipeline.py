@@ -69,7 +69,7 @@ class ERPipeline:
         moving the work dir, toggling report output, or changing the
         CC lineage-checkpoint cadence does not change any stage's
         semantics."""
-        exec_only = {"checkpoint_dir", "generate_reports", "checkpoint_interval"}
+        exec_only = {"checkpoint_dir", "generate_reports"}
         cfg = {k: v for k, v in asdict(self.cfg).items() if k not in exec_only}
         blob = json.dumps(cfg, sort_keys=True, default=str) + "|" + extra
         return hashlib.md5(blob.encode("utf-8")).hexdigest()
@@ -208,7 +208,6 @@ class ERPipeline:
                     deduped.filter(F.col("confidence") >= cfg.edge_threshold).select(
                         F.col("id1").alias("src"), F.col("id2").alias("dst")
                     ),
-                    checkpoint_interval=cfg.checkpoint_interval,
                 ),
                 cfg.min_cluster_size,
                 cfg.max_cluster_size,
