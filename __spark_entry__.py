@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from entity_resolution_pipeline_v1_spark.functions import text as TX
 from entity_resolution_pipeline_v1_spark.functions.similarity import (
-    cosine_expr,
     harmonic_mean,
     levenshtein_sim,
     safe_ratio,

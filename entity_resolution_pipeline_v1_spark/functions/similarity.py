@@ -94,6 +94,62 @@ def cosine_expr(a: ColumnOrName, b: ColumnOrName) -> Column:
     )
 
 
+def norm_expr(a: ColumnOrName) -> Column:
+    """L2 norm of an array column — ONE interpreted higher-order
+    aggregate per ROW. Meant to run per SIDE of a pairwise join
+    (n + m rows), never per pair: pairing it with a codegen'd dot
+    (pair_cosine_expr) removes all per-pair interpreted lambdas."""
+    a = _c(a)
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def unrolled_dot_expr(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:
+    """Fixed-dim dot product written out as `dim` getItem terms —
+    fully whole-stage-codegen'd, no interpreted higher-order-function
+    lambdas. NULL if either side is NULL (callers guard). Left-to-right
+    summation order matches the zip_with/aggregate form bit-for-bit.
+    Only use for dim <= features.FUSED_COSINE_MAX_DIM (the 64KB
+    codegen-method budget; see that constant's docstring)."""
+    a, b = _c(a), _c(b)
+    terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
+def pair_cosine_expr(
+    qv: ColumnOrName, cv: ColumnOrName, qn: ColumnOrName, cn: ColumnOrName,
+    dim: int | None = None,
+) -> Column:
+    """Per-pair cosine for pairwise joins, with norms precomputed per
+    SIDE (norm_expr) instead of per pair. cosine_expr's three
+    interpreted HOF aggregates per pair dominated the ANN joins
+    (measured: ivf_topk over 1.8k x 200 vectors at dim 64 took 7-8s
+    warm — ~70M interpreted lambda calls); with side norms + a
+    codegen'd unrolled dot the per-pair work is one WholeStageCodegen
+    span. With dim=None (unknown width / above the codegen cap) the
+    dot falls back to a single zip_with aggregate — still 3x fewer
+    interpreted passes than cosine_expr. Null/zero-norm semantics
+    match cosine_expr: 0.0."""
+    qv, cv, qn, cn = _c(qv), _c(cv), _c(qn), _c(cn)
+    if dim is not None:
+        dot = unrolled_dot_expr(qv, cv, dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(qv, cv, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return (
+        F.when(qv.isNull() | cv.isNull(), F.lit(0.0))
+        .when((qn == 0) | (cn == 0), F.lit(0.0))
+        .otherwise(dot / (qn * cn))
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched embedding cosine (the reference's F1 hot path,

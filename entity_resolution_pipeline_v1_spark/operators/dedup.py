@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.similarity import cosine_expr, token_jaccard
+from ..functions.similarity import norm_expr, pair_cosine_expr, token_jaccard
 from ..functions.sketches import (
     hamming64,
     lsh_band_keys,
@@ -270,14 +270,21 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     group_col: str | None = None,
     cosine_threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With a group/bucket column the
     join is per-bucket (LSH-style); without it this is the O(n²)
-    verification baseline — only for modest n or post-LSH candidates."""
+    verification baseline — only for modest n or post-LSH candidates.
+    Norms precompute per ROW before the self-join; the per-pair cosine
+    is the codegen'd unrolled dot (see pair_cosine_expr)."""
+    from .simsearch import _fused_dim, _probe_dim
+
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if group_col:
         cols.append(F.col(group_col).alias("g"))
-    base = embeddings.select(*cols)
+    base = embeddings.select(*cols).withColumn("vn", norm_expr("v"))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     joined = a.join(b, on="g") if group_col else a.crossJoin(b)
@@ -286,7 +293,9 @@ def embedding_near_dup(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            pair_cosine_expr(
+                F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn"), _fused_dim(dim)
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )

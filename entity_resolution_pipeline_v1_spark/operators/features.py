@@ -157,11 +157,7 @@ def unit_dot_expr(a, b, dim: int) -> "F.Column":
     zip_with/aggregate HOF form run 81s (interpreted, re-traverses the
     arrays for the norms); the flattened dot runs 22s inside one
     WholeStageCodegen span."""
-    terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)]
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    return s
+    return S.unrolled_dot_expr(a, b, dim)
 
 
 # Above this dimensionality the unrolled unit_dot_expr stops being the

@@ -22,7 +22,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.similarity import cosine_expr
+from ..functions.similarity import norm_expr, pair_cosine_expr
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from one non-null row (arrays don't carry their
+    length in the schema). One tiny job; callers that know the dim
+    pass it explicitly and skip the probe."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return len(row[0]) if row and row[0] is not None else None
+
+
+def _fused_dim(dim: int | None) -> int | None:
+    """The unrolled codegen dot only wins below the 64KB-codegen cap
+    (features.FUSED_COSINE_MAX_DIM); above it pair_cosine_expr falls
+    back to a single zip_with aggregate."""
+    from .features import FUSED_COSINE_MAX_DIM
+
+    return dim if dim is not None and dim <= FUSED_COSINE_MAX_DIM else None
 
 
 def brute_force_topk(
@@ -33,6 +50,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     broadcast_queries: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank<=k), exact.
 
@@ -41,16 +59,25 @@ def brute_force_topk(
     side must NOT be broadcast — callers with large query populations
     (imputation over every null-field record) route through
     :func:`ivf_topk`, whose cell join shuffles both sides.
+
+    Norms are precomputed per SIDE and the per-pair cosine is a
+    codegen'd unrolled dot (pair_cosine_expr) — the per-pair
+    interpreted-HOF cosine was the dominant cost of the join. ``dim``
+    is probed from the corpus when not given.
     """
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm_expr("_qv"))
     if broadcast_queries:
         q = F.broadcast(q)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")).withColumn(
+        "_cn", norm_expr("_cv")
+    )
     scored = (
         c.crossJoin(q)
-        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", pair_cosine_expr("_qv", "_cv", "_qn", "_cn", _fused_dim(dim)))
         .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -144,6 +171,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: corpus partitioned into cells once (nprobe=1),
     queries probe their nprobe nearest cells; cosine + top-k inside
@@ -154,20 +182,36 @@ def ivf_topk(
     so both sides shuffle on `cell` and AQE promotes a small side to
     broadcast at runtime if it fits. With nprobe == len(centroids) the
     search is exact (every cell probed) while keeping the shuffled
-    join shape — the oracle-comparable configuration."""
-    c_cells = assign_cells(corpus, centroids, vec_col, "cell", nprobe=1).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.explode("cell").alias("cell"),
+    join shape — the oracle-comparable configuration.
+
+    Norms are computed per side BEFORE the explode/join (once per
+    vector, not per pair or per probed cell) and the per-pair cosine
+    is a codegen'd unrolled dot — see pair_cosine_expr."""
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
+    c_cells = (
+        assign_cells(corpus, centroids, vec_col, "cell", nprobe=1)
+        .withColumn("_cn", norm_expr(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_cn"),
+            F.explode("cell").alias("cell"),
+        )
     )
-    q_cells = assign_cells(queries, centroids, vec_col, "cell", nprobe=nprobe).select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qv"),
-        F.explode("cell").alias("cell"),
+    q_cells = (
+        assign_cells(queries, centroids, vec_col, "cell", nprobe=nprobe)
+        .withColumn("_qn", norm_expr(F.col(vec_col)))
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            F.col("_qn"),
+            F.explode("cell").alias("cell"),
+        )
     )
     scored = (
         c_cells.join(q_cells, on="cell")
-        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", pair_cosine_expr("_qv", "_cv", "_qn", "_cn", _fused_dim(dim)))
         .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
