@@ -14,7 +14,7 @@ base ∪ imputed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .simsearch import ivf_topk, train_centroids
@@ -65,35 +65,47 @@ def impute_field(
         query_id_col="query_id",
     ).filter(F.col("cosine") >= min_similarity)
 
-    # W2: rank-decay weights sim * 0.9^(rank-1); A9: weighted mean vector
+    # W2: rank-decay weights sim * 0.9^(rank-1); A9: weighted mean
+    # vector; W3: first-match = min_by rank. ONE groupBy does all
+    # three: the old shape (row_number window + filter + posexplode ->
+    # groupBy(query,pos) -> re-group -> join) exploded every neighbor
+    # row x dim before shuffling — at web scale that is
+    # |queries| * k * dim rows through two extra exchanges and a
+    # re-join. Here the only shuffle is |queries| * k rows carrying
+    # one vector each; the weighted mean folds the <=k collected
+    # vectors JVM-side (aggregate + zip_with over a k-element list —
+    # interpreted HOF but bounded by k*dim ops per group, no
+    # row-count amplification).
     weighted = (
         topk.join(donors.select(F.col("vec_id").alias("neighbor_id"), "value", "embedding"),
                   on="neighbor_id")
         .withColumn("weight", F.col("cosine") * F.pow(F.lit(0.9), F.col("rank") - 1))
     )
 
-    w1 = Window.partitionBy("query_id").orderBy(F.col("rank"))
-    nearest = (
-        weighted.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(F.col("query_id").alias("record_id"), F.col("value").alias("imputed_value"))
+    dim_expr = F.size(F.element_at(F.col("items"), 1)["vector"])
+    summed = F.aggregate(
+        F.col("items"),
+        F.array_repeat(F.lit(0.0), dim_expr),
+        lambda acc, it: F.zip_with(
+            acc, it["vector"], lambda a, v: a + v.cast("double") * it["weight"]
+        ),
     )
-
-    per_dim = (
-        weighted.select("query_id", "weight", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("query_id", "pos")
+    sum_w = F.aggregate(
+        F.col("items"), F.lit(0.0), lambda acc, it: acc + it["weight"]
+    )
+    return (
+        weighted.groupBy("query_id")
         .agg(
-            (F.sum(F.col("val") * F.col("weight")) / F.sum("weight")).alias("mean_val")
+            F.min_by("value", "rank").alias("imputed_value"),
+            F.collect_list(
+                F.struct(F.col("weight"), F.col("embedding").alias("vector"))
+            ).alias("items"),
         )
-    )
-    avg_vec = (
-        per_dim.groupBy("query_id")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "mean_val"))).alias("dims"))
         .select(
             F.col("query_id").alias("record_id"),
-            F.transform(F.col("dims"), lambda d: d["mean_val"].cast("float")).alias(
+            F.col("imputed_value"),
+            F.transform(summed, lambda e: (e / sum_w).cast("float")).alias(
                 "imputed_vector"
             ),
         )
     )
-    return nearest.join(avg_vec, on="record_id", how="left")

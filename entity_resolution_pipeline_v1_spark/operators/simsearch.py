@@ -42,6 +42,21 @@ def _fused_dim(dim: int | None) -> int | None:
     return dim if dim is not None and dim <= FUSED_COSINE_MAX_DIM else None
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a corpus frame whose scan parallelism
+    is below the cluster's cores. The per-pair cosine work of a
+    (broadcast) ANN join runs in the STREAM side's partitions: a
+    small-fixture corpus arriving as one parquet file would compute
+    every pair in ONE task (measured: the whole 360k-pair ivf stage
+    on a single core, ~9s, while 31 cores idled). At real scale the
+    corpus has >= cores partitions and this is a no-op — the guard
+    never shuffles data that is already spread."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,6 +82,7 @@ def brute_force_topk(
     """
     if dim is None:
         dim = _probe_dim(corpus, vec_col)
+    corpus = _ensure_parallelism(corpus)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).withColumn("_qn", norm_expr("_qv"))
@@ -189,6 +205,7 @@ def ivf_topk(
     is a codegen'd unrolled dot — see pair_cosine_expr."""
     if dim is None:
         dim = _probe_dim(corpus, vec_col)
+    corpus = _ensure_parallelism(corpus)
     c_cells = (
         assign_cells(corpus, centroids, vec_col, "cell", nprobe=1)
         .withColumn("_cn", norm_expr(F.col(vec_col)))
