@@ -92,15 +92,17 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def run_queries() -> dict:
+def run_queries(skip_scaling: bool = False) -> dict:
     """Default mode: the north-rule scaling evidence FIRST (cleanest
     measurement window — before the 32-core headline phase heats the
     host and leaves page-cache/JIT residue), then headline queries +
-    ER throughput, all in ONE JSON line."""
+    ER throughput, all in ONE JSON line. ``skip_scaling`` (the
+    ``--no-scaling`` flag) is a dev loop for iterating on headline
+    queries without paying the ~30-min scaling phase."""
     import __spark_entry__ as E
     from entity_resolution_pipeline_v1_spark.session import get_spark
 
-    scaling = run_scaling()
+    scaling = None if skip_scaling else run_scaling()
     spark = get_spark(app_name="bench", cpus=CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -131,9 +133,10 @@ def run_queries() -> dict:
         "er_pairs_scored": pairs_scored,
         "er_pairs_per_sec": round(pairs_scored / er_sec, 1),
         "er_pairs_per_family": fam_stats,
-        "er_scaling_detail": scaling,
     }
-    out[scaling["metric"]] = scaling["value"]
+    if scaling is not None:
+        out["er_scaling_detail"] = scaling
+        out[scaling["metric"]] = scaling["value"]
     return out
 
 
@@ -669,4 +672,4 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_queries()))
+        print(json.dumps(run_queries(skip_scaling="--no-scaling" in sys.argv)))
