@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from entity_resolution_pipeline_v1_spark.functions import text as TX
 from entity_resolution_pipeline_v1_spark.functions.similarity import (
     harmonic_mean,
+    harmonic_mean_smoothed,
     levenshtein_sim,
     safe_ratio,
     sigmoid,
@@ -256,6 +257,10 @@ def _q_harmonic_features(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.round(harmonic_mean(F.col("l_discount"), F.col("l_tax")), 4).alias("disc_tax_harmonic"),
+        # F3b: the reference's smoothed variant (parallel_features.py:402-417)
+        F.round(
+            harmonic_mean_smoothed(F.col("l_discount"), F.col("l_tax")), 4
+        ).alias("disc_tax_harmonic_sm"),
         F.round(F.col("l_discount") * F.col("l_tax"), 4).alias("disc_tax_product"),
         F.round(safe_ratio(F.col("l_discount"), F.col("l_tax")), 4).alias("disc_tax_ratio"),
     )
@@ -875,6 +880,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN l_discount > 0 AND l_tax > 0
                          THEN 2.0 * l_discount * l_tax / (l_discount + l_tax)
                          ELSE 0.0 END, 4) AS disc_tax_harmonic,
+                   round(CASE WHEN l_discount <= 0.001 AND l_tax <= 0.001 THEN 0.0
+                         WHEN l_discount <= 0.001 THEN l_tax * 0.1
+                         WHEN l_tax <= 0.001 THEN l_discount * 0.1
+                         ELSE 2.0 * l_discount * l_tax / (l_discount + l_tax)
+                         END, 4) AS disc_tax_harmonic_sm,
                    round(l_discount * l_tax, 4) AS disc_tax_product,
                    round(CASE WHEN l_tax > 0 THEN l_discount / l_tax ELSE 0.0 END, 4) AS disc_tax_ratio
             FROM lineitem

@@ -9,8 +9,12 @@ Semantics are pinned to the reference:
                        both empty -> 1.0   (reference src/utils.py:212-229)
   - harmonic_mean:     2ab/(a+b), 0.0 if either <= 0
                        (reference src/features.py:371-376 — the canonical
-                       variant; the smoothed one in parallel_features.py is
-                       intentionally NOT used)
+                       variant used by the default feature matrix)
+  - harmonic_mean_smoothed: the parallel_features.py:402-417 variant
+                       (<=0.001 floor -> 0.1x the other side); available
+                       as an opt-in expression, NOT wired into the
+                       default 14-feature contract (the reference's
+                       default path uses the canonical variant)
   - product/ratio:     src/features.py:226-238
   - cosine:            dot/(|a||b|); 0.0 on null or zero norm
                        (reference src/utils.py:146-177)
@@ -47,6 +51,23 @@ def levenshtein_sim(left: ColumnOrName, right: ColumnOrName) -> Column:
 def harmonic_mean(a: ColumnOrName, b: ColumnOrName) -> Column:
     a, b = _c(a), _c(b)
     return F.when((a > 0) & (b > 0), 2.0 * a * b / (a + b)).otherwise(F.lit(0.0))
+
+
+def harmonic_mean_smoothed(
+    a: ColumnOrName, b: ColumnOrName, min_threshold: float = 0.001
+) -> Column:
+    """Smoothed harmonic mean (reference parallel_features.py:402-417):
+    values at or below ``min_threshold`` are treated as zero; when only
+    one side is above it, return 0.1x that side instead of collapsing
+    to 0. Pure column expression (whole-stage codegen)."""
+    a, b = _c(a), _c(b)
+    thr = F.lit(float(min_threshold))
+    return (
+        F.when((a <= thr) & (b <= thr), F.lit(0.0))
+        .when(a <= thr, b * 0.1)
+        .when(b <= thr, a * 0.1)
+        .otherwise(2.0 * a * b / (a + b))
+    )
 
 
 def product(a: ColumnOrName, b: ColumnOrName) -> Column:

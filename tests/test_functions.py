@@ -45,6 +45,24 @@ def test_harmonic_mean(spark, a, b, expected):
     assert out == pytest.approx(expected)
 
 
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        (0.5, 0.5, 0.5),                      # normal branch
+        (0.2, 0.8, 2 * 0.2 * 0.8 / 1.0),      # normal branch
+        (0.0, 0.9, 0.09),                     # one side floored -> 0.1x other
+        (0.0005, 0.6, 0.06),                  # at/below threshold counts as zero
+        (0.7, 0.001, 0.07),                   # other side floored
+        (0.0, 0.0, 0.0),                      # both floored
+        (0.001, 0.001, 0.0),                  # both exactly at threshold
+    ],
+)
+def test_harmonic_mean_smoothed(spark, a, b, expected):
+    # reference parallel_features.py:402-417 semantics
+    out = _one(spark, S.harmonic_mean_smoothed(F.col("a"), F.col("b")), a=a, b=b)
+    assert out == pytest.approx(expected)
+
+
 def test_product_and_ratio(spark):
     assert _one(spark, S.product(F.col("a"), F.col("b")), a=0.5, b=0.4) == pytest.approx(0.2)
     assert _one(spark, S.safe_ratio(F.col("a"), F.col("b")), a=0.5, b=0.25) == pytest.approx(2.0)
