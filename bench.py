@@ -108,6 +108,11 @@ def run_queries(skip_scaling: bool = False) -> dict:
 
     scaling = None if skip_scaling else run_scaling()
     spark = get_spark(app_name="bench", cpus=CPUS)
+    # neutral warmup: spin up the task scheduler, codegen compiler and
+    # Python workers on data-free work so the FIRST headline query is
+    # not charged ~5-8s of session cold cost (it touches none of the
+    # benchmark tables, so no input caching is smuggled in)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = E.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -134,10 +139,10 @@ def run_queries(skip_scaling: bool = False) -> dict:
     pairs_scored, er_sec, fam_stats = 0, float("inf"), {}
     for i in range(ER_MAX_ATTEMPTS):
         load0 = _loadavg()
-        p, sec, fam = er_throughput(spark, ER_RECORDS)
+        p, sec, fam, walls = er_throughput(spark, ER_RECORDS)
         er_attempts.append(
             {"sec": round(sec, 2), "pairs_per_sec": round(p / sec, 1),
-             "loadavg_at_start": load0}
+             "loadavg_at_start": load0, "stage_walls": walls}
         )
         if sec < er_sec:
             pairs_scored, er_sec, fam_stats = p, sec, fam
@@ -167,12 +172,14 @@ def run_queries(skip_scaling: bool = False) -> dict:
     return out
 
 
-def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
+def er_throughput(spark, n_records: int) -> tuple[int, float, dict, dict]:
     """End-to-end ER scoring workload: generate corpus, block, pair,
     score, classify. Returns (pairs scored, wall seconds, pairs-per-
-    key-family stats). The family stats are computed AFTER the timed
-    window from the checkpointed blocks (recall/cost dashboard, not
-    part of the throughput metric)."""
+    key-family stats, per-stage wall seconds). The family stats are
+    computed AFTER the timed window from the checkpointed blocks
+    (recall/cost dashboard, not part of the throughput metric); the
+    stage walls diagnose WHICH stage a contaminated attempt lost its
+    time in."""
     from pyspark.sql import functions as F
 
     from entity_resolution_pipeline_v1_spark.config import PipelineConfig
@@ -194,6 +201,8 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="er_bench_", dir=base)
 
+    stage_walls: dict[str, float] = {}
+
     def ckpt(df, name):
         # materialize stage boundaries exactly like ERPipeline's parquet
         # checkpoints: the record lineage crosses Python (generation +
@@ -202,7 +211,9 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
         # data off-heap (localCheckpoint's BlockManager blocks pressure
         # the shared local-mode heap)
         path = f"{work}/{name}"
+        t = time.time()
         df.write.mode("overwrite").parquet(path)
+        stage_walls[name] = round(time.time() - t, 2)
         return spark.read.parquet(path)
 
     cfg = PipelineConfig()
@@ -235,15 +246,17 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict]:
         scored = classify.classify_pairs(featured, model, cfg, year_match_col=F.col("year_match"))
         # aggregate over confidence so Catalyst cannot prune the feature
         # columns away — a bare count() would skip the scoring work entirely
+        t = time.time()
         row = scored.agg(F.count("*").alias("n"), F.sum("confidence").alias("s")).collect()[0]
         assert row["s"] is not None
+        stage_walls["score"] = round(time.time() - t, 2)
         er_sec = time.time() - t0
     fam = {
         r["family"]: {"n_keys": int(r["n_keys"]), "n_pairs": int(r["n_pairs"])}
         for r in blocking.family_pair_stats(blocks).collect()
     }
     shutil.rmtree(work, ignore_errors=True)
-    return int(row["n"]), er_sec, fam
+    return int(row["n"]), er_sec, fam, stage_walls
 
 
 def run_er_worker(cpus: int, n_records: int | None = None) -> None:
@@ -253,7 +266,7 @@ def run_er_worker(cpus: int, n_records: int | None = None) -> None:
     spark = get_spark(app_name=f"bench-er-{cpus}", cpus=cpus)
     # warm the JVM/codegen with a trivial action so the measured run is compute
     spark.range(1000).count()
-    n, sec, _fam = er_throughput(spark, n_records or ER_RECORDS)
+    n, sec, _fam, _walls = er_throughput(spark, n_records or ER_RECORDS)
     print(json.dumps({"cpus": cpus, "pairs": n, "sec": round(sec, 2),
                       "pairs_per_sec": round(n / sec, 1)}), flush=True)
     spark.stop()

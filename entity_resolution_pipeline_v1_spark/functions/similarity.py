@@ -263,8 +263,12 @@ def _jaro_winkler_batch(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.float64)
     out = np.zeros(n, dtype=np.float64)
-    len_a = np.char.str_len(sa.astype(np.str_))
-    len_b = np.char.str_len(sb.astype(np.str_))
+    # TRUE lengths from the Python strings: codepoint 0 doubles as the
+    # U-array padding, so any count-the-nonzero-codes shortcut (or
+    # np.char.str_len, which drops trailing NULs) silently equates
+    # 'x\x00' with 'x' — and dirty web text DOES carry NULs
+    len_a = np.fromiter((len(s) for s in sa), dtype=np.int64, count=n)
+    len_b = np.fromiter((len(s) for s in sb), dtype=np.int64, count=n)
     maxlen = np.maximum(len_a, len_b)
     # bucket by pair max-length so one long outlier string does not
     # inflate the char-matrix width (and the i-loop) of the whole batch
@@ -272,23 +276,23 @@ def _jaro_winkler_batch(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
     for lo, hi in zip(edges, edges[1:]):
         sel = (maxlen > lo) & (maxlen <= hi)
         if sel.any():
-            out[sel] = _jw_group(sa[sel], sb[sel])
+            out[sel] = _jw_group(sa[sel], sb[sel], len_a[sel], len_b[sel])
     out[maxlen == 0] = 1.0  # both empty -> equal -> 1.0
     return out
 
 
-def _jw_group(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
-    """One length-bucket of the vectorized JW (see _jaro_winkler_batch)."""
+def _jw_group(
+    sa: np.ndarray, sb: np.ndarray, len1: np.ndarray, len2: np.ndarray
+) -> np.ndarray:
+    """One length-bucket of the vectorized JW (see _jaro_winkler_batch).
+    ``len1``/``len2`` are the TRUE string lengths; column masks below use
+    them explicitly because the packed buffer cannot distinguish a real
+    NUL character (codepoint 0) from padding."""
     n = len(sa)
     both = np.concatenate([sa, sb]).astype(np.str_)
     width = both.dtype.itemsize // 4
     codes = both.view(np.uint32).reshape(2 * n, width)
     c1, c2 = codes[:n], codes[n:]
-    # padding is codepoint 0 and real text never contains NUL, so
-    # row length == count of non-zero codes (much cheaper than
-    # re-converting through np.char.str_len)
-    len1 = (c1 != 0).sum(axis=1)
-    len2 = (c2 != 0).sum(axis=1)
     # clamp the negative window (maxlen <= 1) to 0: the scalar's empty
     # range(i+1, i) loop finds no matches there, and with d=0 the only
     # admissible column is j==i, where single-char pairs either differ
@@ -308,9 +312,12 @@ def _jw_group(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
         jlo, jhi = max(0, i - dmax), min(width, i + dmax + 1)
         jcols = j_idx[jlo:jhi]
         np.less(i, len1, out=active0)
-        # rows past their len1 are masked by `active0`; c2==ch is
-        # already False beyond len2 because padding is 0
+        # rows past their len1 are masked by `active0`; columns past
+        # len2 are masked EXPLICITLY — padding shares codepoint 0 with
+        # a real NUL character, so "padding never equals text" does not
+        # hold for strings that contain NULs
         cand = c2[:, jlo:jhi] == c1[:, i][:, None]
+        cand &= jcols[None, :] < len2[:, None]
         cand &= ~m2[:, jlo:jhi]
         cand &= np.abs(jcols[None, :] - i) <= d[:, None]
         cand &= active0[:, None]

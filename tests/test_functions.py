@@ -148,6 +148,33 @@ def test_jw_batch_matches_scalar_including_single_char():
         assert g == pytest.approx(_jaro_winkler(x, y), abs=1e-12), (x, y)
 
 
+def test_jw_batch_hypothesis_parity():
+    """Property fuzz: the length-bucketed numpy JW must agree with the
+    scalar on arbitrary unicode batches — mixed lengths in one batch
+    exercise every bucket boundary, empty strings, repeats, and
+    codepoints outside the test alphabet."""
+    from hypothesis import given, settings, strategies as st
+
+    from entity_resolution_pipeline_v1_spark.functions.similarity import (
+        _jaro_winkler,
+        _jaro_winkler_batch,
+    )
+
+    pair = st.tuples(st.text(max_size=40), st.text(max_size=40))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(pair, min_size=1, max_size=25))
+    def _check(pairs):
+        got = _jaro_winkler_batch(
+            np.array([p[0] for p in pairs], dtype=object),
+            np.array([p[1] for p in pairs], dtype=object),
+        )
+        for (x, y), g in zip(pairs, got):
+            assert g == pytest.approx(_jaro_winkler(x, y), abs=1e-12), (x, y)
+
+    _check()
+
+
 def test_jaro_winkler(spark):
     df = spark.createDataFrame(
         [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("abc", "abc"), ("", "abc"), (None, "x")],
