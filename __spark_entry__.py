@@ -342,6 +342,22 @@ def _q_simhash_docs(spark, sf_dir):
     return d.select("doc_id", simhash_udf(TX.tokens(F.col("text"))).alias("simhash"))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    # LLM-pipeline dedup: embedding-cosine near-dup through the exact
+    # O(n²) verification baseline (the scale path passes group_col for
+    # a per-bucket join — dedup.embedding_near_dup docstring). The
+    # synthetic embeddings carry no true near-dups (max pairwise cosine
+    # ≈0.5), so the threshold sits below that to yield a non-empty
+    # result that pins the join + cosine + filter semantics. Both sides
+    # filter on the ROUNDED cosine so a float-vs-double ulp at the
+    # threshold boundary cannot flip membership between engines.
+    e = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(e, cosine_threshold=0.39)
+    return out.filter(F.round("cosine", 4) >= 0.40).select(
+        "id1", "id2", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def _q_minhash_near_dup(spark, sf_dir):
     # rows-only check: LSH near-dup pairs over documents
     d = _t(spark, sf_dir, "documents")
@@ -630,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "year_extract": _q_year_extract,
         "simhash_docs": _q_simhash_docs,
         "minhash_near_dup": _q_minhash_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
         "connected_components": _q_connected_components,
         "year_cascade": _q_year_cascade,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
@@ -956,6 +973,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video/mp4' END AS mime,
                    CAST(doc_id % 9000 + 100 AS BIGINT) AS duration_ms
             FROM documents
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.40
         """,
         "connected_components": """
             WITH RECURSIVE e AS (
