@@ -27,7 +27,10 @@ from entity_resolution_pipeline_v1_spark.functions.similarity import (
     sigmoid,
     token_jaccard,
 )
-from entity_resolution_pipeline_v1_spark.functions.sketches import simhash_udf
+from entity_resolution_pipeline_v1_spark.functions.sketches import (
+    simhash_udf,
+    winnow_fingerprint_udf,
+)
 from entity_resolution_pipeline_v1_spark.operators import dedup, simsearch
 
 
@@ -342,6 +345,36 @@ def _q_simhash_docs(spark, sf_dir):
     return d.select("doc_id", simhash_udf(TX.tokens(F.col("text"))).alias("simhash"))
 
 
+def _q_ivf_topk_exact(spark, sf_dir):
+    # ANN scale path under the exact configuration: IVF-Flat probing
+    # ALL cells — identical results to brute force (same oracle SQL as
+    # cosine_topk), but through the shuffled cell join that survives an
+    # unbounded query side at cluster scale. Pins the cell assignment /
+    # explode / join plumbing end-to-end, not just inside knn_impute.
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = simsearch.train_centroids(e, n_centroids=8)
+    out = simsearch.ivf_topk(
+        e.select("vec_id", "embedding"), queries, cents,
+        k=3, nprobe=len(cents), id_col="vec_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _q_winnow_docs(spark, sf_dir):
+    # rows-only check (no SQL oracle; golden-hash pinned in
+    # tests/test_entry_oracle.py): winnowing document fingerprints
+    # (Schleimer et al., SIGMOD'03) — robust near-dup identity
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", winnow_fingerprint_udf(F.col("text")).alias("fingerprints")
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # LLM-pipeline dedup: embedding-cosine near-dup through the exact
     # O(n²) verification baseline (the scale path passes group_col for
@@ -647,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "minhash_near_dup": _q_minhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
+        "winnow_docs": _q_winnow_docs,
+        "ivf_topk_exact": _q_ivf_topk_exact,
         "connected_components": _q_connected_components,
         "year_cascade": _q_year_cascade,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
@@ -746,7 +781,7 @@ def _year_cascade_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "tpch_q1_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -1096,3 +1131,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey, count(*) AS sz FROM orders GROUP BY o_custkey)
         """,
     }
+    # IVF at nprobe=ALL is exact: same results as brute force, so the
+    # same brute-force SQL is its oracle
+    o["ivf_topk_exact"] = o["cosine_topk"]
+    return o

@@ -86,6 +86,7 @@ def test_entry_runs(spark):
 GOLDEN_HASHES = {
     "simhash_docs": "3d02d5a1a719d7b6e195f7e0000071d1",  # 500 rows
     "minhash_near_dup": "26925a51e9dbca7143bbeea6a6efd94b",  # 28 rows
+    "winnow_docs": "fe527d12e82f0d8df1d01882c0a1ef53",  # 500 rows
 }
 
 
