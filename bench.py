@@ -45,6 +45,11 @@ HEADLINE = [
     "cosine_topk_udf",
     "simhash_docs",
     "minhash_near_dup",
+    # embedding_near_dup is deliberately NOT headline: its exact O(n²)
+    # self-join is the verification baseline (200M pairs at sf0.1); the
+    # correctness driver runs it at sf0.01 where it belongs
+    "winnow_docs",
+    "ivf_topk_exact",
     "connected_components",
     "year_cascade",
     "jaro_winkler_pairs",
