@@ -589,6 +589,64 @@ def _q_media_header(spark, sf_dir):
     )
 
 
+def _q_media_pixel_stats(spark, sf_dir):
+    # REAL pixel decode (not a header parse): encode a closed-form
+    # gradient pattern into REAL PNG bytes (zlib + filters + CRCs),
+    # decode the pixels back OUT OF THE BYTES (stdlib zlib + numpy
+    # unfiltering, multimodal.decode_png_pixels), and emit integer-
+    # exact pixel statistics. The oracle recomputes the same sums
+    # arithmetically from the gradient formula — the hash matches only
+    # if the full encode -> compress -> decompress -> unfilter -> stats
+    # round trip is bit-correct. Integer columns only: zero float
+    # drift between engines.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        gradient_png_udf,
+        image_pixel_stats_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 9 + 8).cast("int")
+    h = (F.col("doc_id") % 7 + 6).cast("int")
+    media = d.select(
+        "doc_id", gradient_png_udf(w, h, F.col("doc_id").cast("long")).alias("payload")
+    )
+    st = media.select("doc_id", image_pixel_stats_udf("payload").alias("s"))
+    return st.select(
+        "doc_id",
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.col("s.channels").alias("channels"),
+        F.col("s.pix_sum").alias("pix_sum"),
+        F.col("s.pix_sq_sum").alias("pix_sq_sum"),
+    )
+
+
+def _q_media_audio_stats(spark, sf_dir):
+    # REAL sample decode for audio: a closed-form int16 ramp encoded
+    # into REAL PCM WAV bytes, samples decoded back out of the bytes
+    # (multimodal.decode_wav_samples), integer-exact stats vs an
+    # arithmetic oracle — same full-circle proof as media_pixel_stats.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        audio_sample_stats_udf,
+        ramp_wav_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 400 + 80).cast("long")
+    media = d.select(
+        "doc_id", ramp_wav_udf(n, F.col("doc_id").cast("long")).alias("payload")
+    )
+    st = media.select("doc_id", audio_sample_stats_udf("payload").alias("s"))
+    return st.select(
+        "doc_id",
+        F.col("s.sample_rate").alias("sample_rate"),
+        F.col("s.n_samples").alias("n_samples"),
+        F.col("s.sample_sum").alias("sample_sum"),
+        F.col("s.sample_sq_sum").alias("sample_sq_sum"),
+        F.col("s.peak").alias("peak"),
+    )
+
+
 def _q_media_av_header(spark, sf_dir):
     # REAL audio/video metadata decode: synthesize structurally-valid
     # WAV (even doc_id) / MP4 (odd doc_id; mvhd v0/v1 alternating by
@@ -690,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_header": _q_media_header,
         "media_av_header": _q_media_av_header,
+        "media_pixel_stats": _q_media_pixel_stats,
+        "media_audio_stats": _q_media_audio_stats,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
         "cluster_stats": _q_cluster_stats,
@@ -1008,6 +1068,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video/mp4' END AS mime,
                    CAST(doc_id % 9000 + 100 AS BIGINT) AS duration_ms
             FROM documents
+        """,
+        "media_pixel_stats": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(doc_id % 9 + 8 AS INT) AS w,
+                       CAST(doc_id % 7 + 6 AS INT) AS h
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   d.w AS width, d.h AS height, 3 AS channels,
+                   CAST(sum((x.x + 7*y.y + 13*c.c + d.doc_id) % 256) AS BIGINT) AS pix_sum,
+                   CAST(sum(((x.x + 7*y.y + 13*c.c + d.doc_id) % 256)
+                          * ((x.x + 7*y.y + 13*c.c + d.doc_id) % 256)) AS BIGINT) AS pix_sq_sum
+            FROM dims d,
+                 generate_series(0, 15) AS x(x),
+                 generate_series(0, 11) AS y(y),
+                 generate_series(0, 2) AS c(c)
+            WHERE x.x < d.w AND y.y < d.h
+            GROUP BY d.doc_id, d.w, d.h
+        """,
+        "media_audio_stats": """
+            WITH dims AS (
+                SELECT doc_id, CAST(doc_id % 400 + 80 AS BIGINT) AS n
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   8000 AS sample_rate,
+                   d.n AS n_samples,
+                   CAST(sum((i.i * 37 + d.doc_id) % 4096 - 2048) AS BIGINT) AS sample_sum,
+                   CAST(sum(((i.i * 37 + d.doc_id) % 4096 - 2048)
+                          * ((i.i * 37 + d.doc_id) % 4096 - 2048)) AS BIGINT) AS sample_sq_sum,
+                   CAST(max(abs((i.i * 37 + d.doc_id) % 4096 - 2048)) AS INT) AS peak
+            FROM dims d, generate_series(0, 479) AS i(i)
+            WHERE i.i < d.n
+            GROUP BY d.doc_id, d.n
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,

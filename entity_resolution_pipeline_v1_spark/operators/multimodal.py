@@ -2,16 +2,27 @@
 
 Media payloads are opaque `binary` columns with typed metadata
 structs. The Spark side — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested; the actual codec work is STUBBED
-(this container ships no image/audio libraries): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder produces stable pseudo-features so downstream plumbing is
-testable end-to-end.
+UDF signatures — is real and tested. Decode coverage is format-tiered
+by what pure Python + stdlib can do (this container ships no codec
+libraries):
+
+  * REAL header metadata for PNG/GIF/JPEG (dims) and WAV/MP4
+    (duration) — byte-level container parsing.
+  * REAL pixel decode for non-interlaced 8-bit PNG (zlib is stdlib;
+    scanline unfiltering is numpy) and REAL sample decode for 16-bit
+    PCM WAV — `decode_png_pixels` / `decode_wav_samples` feed
+    `image_pixel_stats_udf` / `audio_sample_stats_udf` and the real
+    `extract_features` path.
+  * STUBBED for codec-bound formats (JPEG/GIF pixels, MP4 frames):
+    `extract_features` raises NotImplementedError on them unless
+    `fake=True`, in which case a deterministic fake decoder produces
+    stable pseudo-features so downstream plumbing is testable.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -125,6 +136,175 @@ def make_png_udf(width: pd.Series, height: pd.Series) -> pd.Series:
     """Deterministic PNG payload per row (see make_png)."""
     return pd.Series(
         [make_png(int(w), int(h)) for w, h in zip(width, height)], dtype=object
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """REAL PNG encoder (pure stdlib zlib + numpy): 8-bit gray /
+    gray+alpha / RGB / RGBA, non-interlaced, filter 0 scanlines, real
+    CRCs. Round-trips bit-exactly through :func:`decode_png_pixels`
+    and through any standards-compliant decoder."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    # prepend filter byte 0 to each scanline in one numpy op
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * c)
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png_pixels(b: bytes | None) -> np.ndarray | None:
+    """REAL PNG pixel decode, no codec library: chunk walk -> zlib
+    (stdlib) -> scanline unfiltering. Supports non-interlaced 8-bit
+    gray / gray+alpha / RGB / RGBA (the overwhelmingly common web
+    shapes); palette, 16-bit, and interlaced files return None (as do
+    non-PNG payloads), never a wrong answer.
+
+    Unfiltering is numpy per scanline: filter 0 is a copy, Up a
+    vector add (uint8 wraps mod 256 like the spec's arithmetic), Sub a
+    per-channel-lane cumsum; the serial Average/Paeth predictors fall
+    back to a per-byte loop on just the scanlines that use them (our
+    encoder never does; foreign PNGs may)."""
+    if not b or b[:8] != _PNG_SIG:
+        return None
+    i, n = 8, len(b)
+    w = h = None
+    bit_depth = ctype = interlace = None
+    idat: list[bytes] = []
+    while i + 8 <= n:
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 8 - 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR" and len(data) >= 13:
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    channels = _PNG_CHANNELS.get(ctype) if ctype is not None else None
+    if not w or not h or bit_depth != 8 or interlace != 0 or channels is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f, row = filters[y], data[y]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: per-lane prefix sum, uint8 wrap == mod 256
+            rec = np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average (serial along the row)
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (serial along the row)
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                bb = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_sq_sum", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(PIXEL_STATS_SCHEMA)
+def image_pixel_stats_udf(payload: pd.Series) -> pd.DataFrame:
+    """REAL pixel-level decode (not a header parse, not stubbed):
+    decode_png_pixels -> integer-exact per-image statistics. Sums are
+    emitted instead of float mean/std so an oracle recomputing them
+    from first principles hash-matches with zero float drift; means
+    derive exactly in the query layer. Undecodable payloads -> NULLs."""
+    rows = []
+    for b in payload:
+        px = decode_png_pixels(b)
+        if px is None:
+            rows.append((None, None, None, None, None))
+        else:
+            flat = px.astype(np.int64)
+            rows.append(
+                (
+                    px.shape[1],
+                    px.shape[0],
+                    px.shape[2],
+                    int(flat.sum()),
+                    int((flat * flat).sum()),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["width", "height", "channels", "pix_sum", "pix_sq_sum"]
+    )
+
+
+def gradient_pixels(width: int, height: int, seed: int, channels: int = 3) -> np.ndarray:
+    """Deterministic gradient test pattern with a closed-form pixel
+    formula — (x + 7y + 13c + seed) mod 256 — so a SQL oracle can
+    recompute the exact pixel statistics arithmetically while the
+    engine round-trips them through REAL PNG bytes."""
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(channels)[None, None, :]
+    return ((x + 7 * y + 13 * c + int(seed)) % 256).astype(np.uint8)
+
+
+@F.pandas_udf(T.BinaryType())
+def gradient_png_udf(width: pd.Series, height: pd.Series, seed: pd.Series) -> pd.Series:
+    """Real PNG payload per row carrying the gradient_pixels pattern."""
+    return pd.Series(
+        [
+            encode_png(gradient_pixels(int(w), int(h), int(s)))
+            for w, h, s in zip(width, height, seed)
+        ],
+        dtype=object,
     )
 
 
@@ -270,6 +450,108 @@ def make_av_udf(kind: pd.Series, duration_ms: pd.Series) -> pd.Series:
     )
 
 
+def make_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """REAL WAV encoder: RIFF + fmt + data with actual 16-bit mono PCM
+    sample bytes (little-endian int16). Round-trips bit-exactly through
+    :func:`decode_wav_samples`; _parse_av_header reads the same file's
+    duration."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    if len(pcm) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav_samples(b: bytes | None) -> tuple[int, np.ndarray] | None:
+    """REAL WAV sample decode, no codec needed: chunk walk to fmt +
+    data, then one zero-copy int16 view of the PCM bytes. Only 16-bit
+    integer PCM (format tag 1) is accepted — compressed WAV variants
+    return None, never a wrong answer. Returns (sample_rate, samples)
+    interleaved across channels."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    sample_rate = None
+    ok_pcm16 = False
+    pcm: bytes | None = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt_tag = int.from_bytes(b[i + 8 : i + 10], "little")
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            ok_pcm16 = fmt_tag == 1 and bits == 16
+        elif cid == b"data":
+            pcm = b[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if not ok_pcm16 or not sample_rate or pcm is None or len(pcm) % 2:
+        return None
+    return sample_rate, np.frombuffer(pcm, dtype="<i2")
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_sq_sum", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(AUDIO_STATS_SCHEMA)
+def audio_sample_stats_udf(payload: pd.Series) -> pd.DataFrame:
+    """REAL sample-level audio decode (not a header parse):
+    decode_wav_samples -> integer-exact statistics (sums rather than
+    float mean/rms, so oracles hash-match with zero float drift; RMS
+    derives exactly in the query layer). Undecodable -> NULLs."""
+    rows = []
+    for b in payload:
+        dec = decode_wav_samples(b)
+        if dec is None:
+            rows.append((None, None, None, None, None))
+        else:
+            rate, s = dec
+            s64 = s.astype(np.int64)
+            peak = int(np.abs(s64).max()) if len(s64) else 0
+            rows.append((rate, len(s64), int(s64.sum()), int((s64 * s64).sum()), peak))
+    return pd.DataFrame(
+        rows,
+        columns=["sample_rate", "n_samples", "sample_sum", "sample_sq_sum", "peak"],
+    )
+
+
+def ramp_samples(n: int, seed: int) -> np.ndarray:
+    """Deterministic PCM test signal with a closed-form sample formula
+    — ((i*37 + seed) mod 4096) - 2048 — so a SQL oracle can recompute
+    the exact sample statistics while the engine round-trips them
+    through REAL WAV bytes."""
+    i = np.arange(int(n), dtype=np.int64)
+    return (((i * 37 + int(seed)) % 4096) - 2048).astype(np.int16)
+
+
+@F.pandas_udf(T.BinaryType())
+def ramp_wav_udf(n_samples: pd.Series, seed: pd.Series) -> pd.Series:
+    """Real 16-bit PCM WAV payload per row carrying the ramp_samples
+    signal."""
+    return pd.Series(
+        [make_wav_pcm(ramp_samples(int(n), int(s))) for n, s in zip(n_samples, seed)],
+        dtype=object,
+    )
+
+
 def _fake_feature(payload: bytes | None, dim: int) -> list[float] | None:
     """Deterministic stand-in for a real decode+embed: md5-seeded
     pseudo-features. NOT a real decoder — see module docstring."""
@@ -281,6 +563,51 @@ def _fake_feature(payload: bytes | None, dim: int) -> list[float] | None:
     return (v / np.linalg.norm(v)).astype(np.float32).tolist()
 
 
+def _real_feature(payload: bytes | None) -> list[float]:
+    """REAL descriptor vector for the codec-free formats: PNG pixels ->
+    [1, width, height, channels, mean/255, std/255, min/255, max/255];
+    WAV PCM -> [2, n_samples, sample_rate, 0, dc/32768, rms/32768,
+    min/32768, max/32768]. Codec-bound or unknown payloads raise — the
+    honest boundary of what this container can decode."""
+    px = decode_png_pixels(payload)
+    if px is not None:
+        flat = px.astype(np.float64)
+        return [
+            1.0,
+            float(px.shape[1]),
+            float(px.shape[0]),
+            float(px.shape[2]),
+            float(flat.mean() / 255.0),
+            float(flat.std() / 255.0),
+            float(flat.min() / 255.0),
+            float(flat.max() / 255.0),
+        ]
+    dec = decode_wav_samples(payload)
+    if dec is not None:
+        rate, s = dec
+        f = s.astype(np.float64)
+        if len(f) == 0:
+            f = np.zeros(1)
+        return [
+            2.0,
+            float(len(s)),
+            float(rate),
+            0.0,
+            float(f.mean() / 32768.0),
+            float(np.sqrt((f * f).mean()) / 32768.0),
+            float(f.min() / 32768.0),
+            float(f.max() / 32768.0),
+        ]
+    mime, _, _ = _parse_image_header(payload)
+    if mime is None:
+        mime, _ = _parse_av_header(payload)
+    raise NotImplementedError(
+        f"real decode of {mime or 'unknown-format'} payloads requires codec "
+        "libraries not present in this container; PNG pixels and 16-bit PCM "
+        "WAV decode natively — pass fake=True for the deterministic stand-in"
+    )
+
+
 def extract_features(
     media: DataFrame,
     dim: int = 32,
@@ -288,19 +615,21 @@ def extract_features(
     fake: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. The real
-    decode path is a stub (no codecs in this image)."""
-    if not fake:
-        raise NotImplementedError(
-            "real image/audio decoding requires codec libraries not present "
-            "in this container; pass fake=True for the deterministic test path"
-        )
+    path (`fake=False`) decodes what stdlib-only code genuinely can —
+    PNG pixels and PCM WAV samples (see _real_feature) — and raises on
+    codec-bound formats (JPEG/GIF pixels, MP4 frames). `fake=True`
+    keeps the deterministic md5-seeded stand-in for plumbing tests at
+    any format."""
     out_schema = ", ".join(f.name + " " + f.dataType.simpleString() for f in media.schema.fields)
     out_schema += ", features array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["features"] = pdf[payload_col].map(lambda b: _fake_feature(b, dim))
+            if fake:
+                pdf["features"] = pdf[payload_col].map(lambda b: _fake_feature(b, dim))
+            else:
+                pdf["features"] = pdf[payload_col].map(_real_feature)
             yield pdf
 
     return media.mapInPandas(run, schema=out_schema)

@@ -42,7 +42,10 @@ def test_multimodal_fake_features(spark):
          ("m2", "image", None, ("image/png", 4, 4, None))],
         multimodal.MEDIA_SCHEMA,
     )
-    with pytest.raises(NotImplementedError):
+    # the real path decodes PNG/WAV natively but must still REFUSE
+    # codec-bound / undecodable payloads (raised inside the executor,
+    # so Spark surfaces it as a PythonException wrapper)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.extract_features(media, fake=False).collect()
     out = multimodal.extract_features(media, dim=16, fake=True).collect()
     feats = {r["media_id"]: r["features"] for r in out}
@@ -50,6 +53,39 @@ def test_multimodal_fake_features(spark):
     assert feats["m2"] is None
     meta = multimodal.attach_media_meta(media).collect()[0]
     assert meta["payload_bytes"] == len(b"\x89PNG...")
+
+
+def test_multimodal_real_features(spark):
+    """extract_features(fake=False) is REAL for PNG pixels and PCM WAV:
+    the descriptor values must equal stats computed on the source
+    arrays before encoding."""
+    import numpy as np
+
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        encode_png,
+        make_wav_pcm,
+        ramp_samples,
+    )
+
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    samples = ramp_samples(200, seed=5)
+    media = spark.createDataFrame(
+        [("img", "image", bytearray(encode_png(arr)), None),
+         ("aud", "audio", bytearray(make_wav_pcm(samples)), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media, fake=False).collect()
+    }
+    img = feats["img"]
+    assert img[:4] == [1.0, 6.0, 4.0, 3.0]  # kind, width, height, channels
+    assert img[4] == pytest.approx(arr.astype(float).mean() / 255.0)
+    assert img[5] == pytest.approx(arr.astype(float).std() / 255.0)
+    aud = feats["aud"]
+    assert aud[:3] == [2.0, 200.0, 8000.0]  # kind, n_samples, rate
+    f = samples.astype(float)
+    assert aud[5] == pytest.approx(np.sqrt((f * f).mean()) / 32768.0)
 
 
 def test_image_header_parse_roundtrip(spark):

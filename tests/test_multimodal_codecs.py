@@ -1,0 +1,158 @@
+"""Pure-Python media codec tests (no Spark session needed).
+
+The PNG decoder is validated against an INDEPENDENT scalar encoder
+that can emit every spec filter type (0-4), so the numpy unfiltering
+(cumsum Sub, vector Up, serial Average/Paeth) is checked byte-for-byte
+against the spec arithmetic rather than against its own encoder.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+    _parse_av_header,
+    _parse_image_header,
+    decode_png_pixels,
+    decode_wav_samples,
+    encode_png,
+    gradient_pixels,
+    make_wav_pcm,
+    ramp_samples,
+)
+
+
+def _encode_png_with_filters(arr: np.ndarray, ftypes: list[int]) -> bytes:
+    """Independent scalar PNG encoder cycling through the given filter
+    types — straight transcription of the spec's per-byte filter
+    arithmetic, deliberately sharing no code with the module."""
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        row = flat[y]
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (row[x] - pred) % 256
+        out.append(f)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(bytes(out), 6)
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + zlib.crc32(t + d).to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (5, 3, 1), (12, 16, 3), (7, 9, 4), (6, 4, 2)])
+def test_png_roundtrip(shape):
+    arr = np.random.RandomState(7).randint(0, 256, size=shape, dtype=np.uint8)
+    b = encode_png(arr)
+    back = decode_png_pixels(b)
+    assert back is not None and back.shape == arr.shape and (back == arr).all()
+    mime, w, h = _parse_image_header(b)
+    assert (mime, w, h) == ("image/png", shape[1], shape[0])
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]]
+)
+def test_png_unfilter_all_types_vs_scalar_reference(channels, ftypes):
+    arr = np.random.RandomState(channels).randint(
+        0, 256, size=(11, 7, channels), dtype=np.uint8
+    )
+    back = decode_png_pixels(_encode_png_with_filters(arr, ftypes))
+    assert back is not None and (back == arr).all()
+
+
+def test_png_rejects_unsupported_never_wrong():
+    arr = np.random.RandomState(0).randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = bytearray(encode_png(arr))
+    interlaced = bytearray(good)
+    interlaced[28] = 1  # IHDR interlace flag
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit depth
+    assert decode_png_pixels(bytes(interlaced)) is None
+    assert decode_png_pixels(bytes(deep)) is None
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(good[:30]) is None  # truncated
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_hypothesis(w, h, c, seed):
+    arr = np.random.RandomState(seed % 2**32).randint(0, 256, (h, w, c), dtype=np.uint8)
+    back = decode_png_pixels(encode_png(arr))
+    assert back is not None and (back == arr).all()
+
+
+def test_gradient_formula_matches_pixels():
+    px = gradient_pixels(5, 4, seed=9)
+    for y in range(4):
+        for x in range(5):
+            for c in range(3):
+                assert px[y, x, c] == (x + 7 * y + 13 * c + 9) % 256
+
+
+def test_wav_pcm_roundtrip():
+    s = ramp_samples(473, 11)
+    b = make_wav_pcm(s)
+    rate, back = decode_wav_samples(b)
+    assert rate == 8000 and (back == s).all()
+    mime, dur = _parse_av_header(b)
+    assert mime == "audio/wav" and dur == 473 * 2 * 1000 // 16000
+    # negative samples encode as little-endian two's complement
+    assert back.min() < 0
+    # rejections
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None
+    assert decode_wav_samples(b"junk") is None
+    assert decode_wav_samples(None) is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(0, 600), seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_hypothesis(n, seed):
+    s = ramp_samples(n, seed)
+    dec = decode_wav_samples(make_wav_pcm(s))
+    assert dec is not None
+    rate, back = dec
+    assert rate == 8000 and len(back) == n and (back == s).all()
