@@ -621,6 +621,36 @@ def _q_media_pixel_stats(spark, sf_dir):
     )
 
 
+def _q_media_gif_stats(spark, sf_dir):
+    # REAL GIF pixel decode: a closed-form index pattern LZW-compressed
+    # into real GIF bytes (multimodal.encode_gif), pixels decoded back
+    # out of the bytes via the pure-Python LZW + palette path
+    # (decode_gif_pixels, shared image_pixel_stats_udf). Grayscale
+    # palette (i,i,i) makes the decoded RGB sums exactly 3x the index
+    # sums, which the oracle recomputes arithmetically — a bit-correct-
+    # ness proof of the whole LZW encode -> decode -> palette lookup.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        gradient_gif_udf,
+        image_pixel_stats_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 11 + 6).cast("int")
+    h = (F.col("doc_id") % 5 + 4).cast("int")
+    media = d.select(
+        "doc_id", gradient_gif_udf(w, h, F.col("doc_id").cast("long")).alias("payload")
+    )
+    st = media.select("doc_id", image_pixel_stats_udf("payload").alias("s"))
+    return st.select(
+        "doc_id",
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.col("s.channels").alias("channels"),
+        F.col("s.pix_sum").alias("pix_sum"),
+        F.col("s.pix_sq_sum").alias("pix_sq_sum"),
+    )
+
+
 def _q_media_audio_stats(spark, sf_dir):
     # REAL sample decode for audio: a closed-form int16 ramp encoded
     # into REAL PCM WAV bytes, samples decoded back out of the bytes
@@ -749,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header": _q_media_header,
         "media_av_header": _q_media_av_header,
         "media_pixel_stats": _q_media_pixel_stats,
+        "media_gif_stats": _q_media_gif_stats,
         "media_audio_stats": _q_media_audio_stats,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
@@ -1085,6 +1116,24 @@ def oracle_sql() -> dict[str, str]:
                  generate_series(0, 15) AS x(x),
                  generate_series(0, 11) AS y(y),
                  generate_series(0, 2) AS c(c)
+            WHERE x.x < d.w AND y.y < d.h
+            GROUP BY d.doc_id, d.w, d.h
+        """,
+        "media_gif_stats": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(doc_id % 11 + 6 AS INT) AS w,
+                       CAST(doc_id % 5 + 4 AS INT) AS h
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   d.w AS width, d.h AS height, 3 AS channels,
+                   CAST(3 * sum((x.x + 7*y.y + d.doc_id) % 256) AS BIGINT) AS pix_sum,
+                   CAST(3 * sum(((x.x + 7*y.y + d.doc_id) % 256)
+                              * ((x.x + 7*y.y + d.doc_id) % 256)) AS BIGINT) AS pix_sq_sum
+            FROM dims d,
+                 generate_series(0, 16) AS x(x),
+                 generate_series(0, 8) AS y(y)
             WHERE x.x < d.w AND y.y < d.h
             GROUP BY d.doc_id, d.w, d.h
         """,

@@ -9,14 +9,16 @@ libraries):
   * REAL header metadata for PNG/GIF/JPEG (dims) and WAV/MP4
     (duration) — byte-level container parsing.
   * REAL pixel decode for non-interlaced 8-bit PNG (zlib is stdlib;
-    scanline unfiltering is numpy) and REAL sample decode for 16-bit
-    PCM WAV — `decode_png_pixels` / `decode_wav_samples` feed
-    `image_pixel_stats_udf` / `audio_sample_stats_udf` and the real
-    `extract_features` path.
-  * STUBBED for codec-bound formats (JPEG/GIF pixels, MP4 frames):
-    `extract_features` raises NotImplementedError on them unless
-    `fake=True`, in which case a deterministic fake decoder produces
-    stable pseudo-features so downstream plumbing is testable.
+    scanline unfiltering is numpy) and GIF (LZW is pure bit/dict
+    work; global/local palettes, interlace), and REAL sample decode
+    for 16-bit PCM WAV — `decode_png_pixels` / `decode_gif_pixels` /
+    `decode_wav_samples` feed `image_pixel_stats_udf` /
+    `audio_sample_stats_udf` and the real `extract_features` path.
+  * STUBBED for codec-bound formats (JPEG pixels — DCT+Huffman, MP4
+    frames): `extract_features` raises NotImplementedError on them
+    unless `fake=True`, in which case a deterministic fake decoder
+    produces stable pseudo-features so downstream plumbing is
+    testable.
 """
 
 from __future__ import annotations
@@ -268,6 +270,8 @@ def image_pixel_stats_udf(payload: pd.Series) -> pd.DataFrame:
     for b in payload:
         px = decode_png_pixels(b)
         if px is None:
+            px = decode_gif_pixels(b)
+        if px is None:
             rows.append((None, None, None, None, None))
         else:
             flat = px.astype(np.int64)
@@ -306,6 +310,214 @@ def gradient_png_udf(width: pd.Series, height: pd.Series, seed: pd.Series) -> pd
         ],
         dtype=object,
     )
+
+
+@F.pandas_udf(T.BinaryType())
+def gradient_gif_udf(width: pd.Series, height: pd.Series, seed: pd.Series) -> pd.Series:
+    """Real LZW-compressed GIF payload per row: grayscale 256-entry
+    palette (i,i,i) over index pattern (x + 7y + seed) mod 256, so the
+    decoded RGB pixel sums have the closed form 3x the index sums."""
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out = []
+    for w, h, s in zip(width, height, seed):
+        idx = gradient_pixels(int(w), int(h), int(s), channels=1)[:, :, 0]
+        out.append(encode_gif(idx, pal))
+    return pd.Series(out, dtype=object)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes | None:
+    """GIF-variant LZW decode (variable code width, CLEAR/END codes,
+    12-bit cap). One big-int bit cursor instead of a per-bit loop; the
+    per-CODE loop is inherent to LZW's sequential dictionary."""
+    if not data or not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    val = int.from_bytes(data, "little")
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < expected:
+        code = (val >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (real dictionary growth, 12-bit cap with
+    CLEAR reset) — exists so tests can round-trip the decoder against
+    genuinely compressed streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    code_size = min_code_size + 1
+    acc = 0
+    accbits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code > (1 << code_size):
+                if code_size < 12:
+                    code_size += 1
+                else:
+                    emit(clear)
+                    table = fresh()
+                    next_code = end + 1
+                    code_size = min_code_size + 1
+            w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(end)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF interlace passes: (row offset, row step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(b: bytes | None) -> np.ndarray | None:
+    """REAL GIF pixel decode, no codec library: LZW is pure bit/dict
+    work (see _lzw_decode) and the rest is palette lookup. Returns the
+    FIRST frame as (H, W, 3) uint8 RGB (animation = first frame, the
+    standard thumbnail semantics); handles global and local color
+    tables and interlaced row order. Non-GIF or corrupt payloads
+    return None, never a wrong answer."""
+    if not b or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    i = 13
+    global_pal: np.ndarray | None = None
+    if flags & 0x80:
+        psz = 2 ** ((flags & 7) + 1)
+        if i + 3 * psz > len(b):
+            return None
+        global_pal = np.frombuffer(b[i : i + 3 * psz], dtype=np.uint8).reshape(psz, 3)
+        i += 3 * psz
+    n = len(b)
+    while i < n:
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            pal = global_pal
+            if iflags & 0x80:  # local color table
+                psz = 2 ** ((iflags & 7) + 1)
+                if i + 3 * psz > n:
+                    return None
+                pal = np.frombuffer(b[i : i + 3 * psz], dtype=np.uint8).reshape(psz, 3)
+                i += 3 * psz
+            if pal is None or w == 0 or h == 0 or i >= n:
+                return None
+            min_code_size = b[i]
+            i += 1
+            chunks = []
+            while i < n and b[i] != 0:
+                ln = b[i]
+                chunks.append(b[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            idx_bytes = _lzw_decode(b"".join(chunks), min_code_size, w * h)
+            if idx_bytes is None:
+                return None
+            idx = np.frombuffer(idx_bytes, dtype=np.uint8)
+            if idx.max(initial=0) >= len(pal):
+                return None
+            rows = pal[idx].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(off, h, step) for off, step in _GIF_INTERLACE]
+                )
+                out = np.empty_like(rows)
+                out[order] = rows
+                return out
+            return rows
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """REAL (single-frame, non-interlaced) GIF encoder over an index
+    matrix + RGB palette, with genuine LZW compression — round-trips
+    bit-exactly through :func:`decode_gif_pixels`."""
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    npal = len(pal)
+    bits = max(1, (npal - 1).bit_length())
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:npal] = pal
+    min_code_size = max(2, bits)
+    lzw = _lzw_encode(idx.tobytes(), min_code_size)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # global table, size 2^bits
+    out += full.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0])  # no local table, not interlaced
+    out += bytes([min_code_size])
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _parse_av_header(b: bytes | None) -> tuple[str | None, int | None]:
@@ -564,12 +776,14 @@ def _fake_feature(payload: bytes | None, dim: int) -> list[float] | None:
 
 
 def _real_feature(payload: bytes | None) -> list[float]:
-    """REAL descriptor vector for the codec-free formats: PNG pixels ->
-    [1, width, height, channels, mean/255, std/255, min/255, max/255];
-    WAV PCM -> [2, n_samples, sample_rate, 0, dc/32768, rms/32768,
-    min/32768, max/32768]. Codec-bound or unknown payloads raise — the
-    honest boundary of what this container can decode."""
+    """REAL descriptor vector for the codec-free formats: PNG/GIF
+    pixels -> [1, width, height, channels, mean/255, std/255, min/255,
+    max/255]; WAV PCM -> [2, n_samples, sample_rate, 0, dc/32768,
+    rms/32768, min/32768, max/32768]. Codec-bound or unknown payloads
+    raise — the honest boundary of what this container can decode."""
     px = decode_png_pixels(payload)
+    if px is None:
+        px = decode_gif_pixels(payload)
     if px is not None:
         flat = px.astype(np.float64)
         return [
@@ -603,8 +817,8 @@ def _real_feature(payload: bytes | None) -> list[float]:
         mime, _ = _parse_av_header(payload)
     raise NotImplementedError(
         f"real decode of {mime or 'unknown-format'} payloads requires codec "
-        "libraries not present in this container; PNG pixels and 16-bit PCM "
-        "WAV decode natively — pass fake=True for the deterministic stand-in"
+        "libraries not present in this container; PNG/GIF pixels and 16-bit "
+        "PCM WAV decode natively — pass fake=True for the deterministic stand-in"
     )
 
 

@@ -14,10 +14,15 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+    _GIF_INTERLACE,
+    _lzw_decode,
+    _lzw_encode,
     _parse_av_header,
     _parse_image_header,
+    decode_gif_pixels,
     decode_png_pixels,
     decode_wav_samples,
+    encode_gif,
     encode_png,
     gradient_pixels,
     make_wav_pcm,
@@ -131,6 +136,65 @@ def test_gradient_formula_matches_pixels():
         for x in range(5):
             for c in range(3):
                 assert px[y, x, c] == (x + 7 * y + 13 * c + 9) % 256
+
+
+@pytest.mark.parametrize("mcs,n", [(2, 10), (2, 5000), (4, 3000), (8, 100000)])
+def test_lzw_roundtrip(mcs, n):
+    """Raw GIF-variant LZW across code-width bumps and (at n=100000
+    with 8-bit random symbols) the 12-bit table cap + CLEAR reset."""
+    data = np.random.RandomState(3).randint(0, 1 << mcs, size=n).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs, n) == data
+
+
+@pytest.mark.parametrize("h,w,npal", [(1, 1, 2), (7, 5, 4), (20, 30, 256), (13, 17, 100)])
+def test_gif_roundtrip(h, w, npal):
+    rng = np.random.RandomState(npal)
+    pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, size=(h, w)).astype(np.uint8)
+    b = encode_gif(idx, pal)
+    assert _parse_image_header(b) == ("image/gif", w, h)
+    px = decode_gif_pixels(b)
+    assert px is not None and px.shape == (h, w, 3) and (px == pal[idx]).all()
+
+
+def test_gif_interlaced_decode():
+    """The decoder must restore interlaced row order. Encode the rows
+    in GIF pass order with the interlace flag patched on, and require
+    the ORIGINAL image back."""
+    rng = np.random.RandomState(1)
+    h, w = 13, 6
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+    order = np.concatenate([np.arange(off, h, step) for off, step in _GIF_INTERLACE])
+    b = bytearray(encode_gif(idx[order], pal))
+    # image descriptor sits right after header(6)+LSD(7)+palette(48):
+    # 0x2C left(2) top(2) w(2) h(2) flags(1) -> flags byte at +9
+    desc = 6 + 7 + 16 * 3
+    assert b[desc] == 0x2C
+    b[desc + 9] |= 0x40
+    px = decode_gif_pixels(bytes(b))
+    assert px is not None and (px == pal[idx]).all()
+
+
+def test_gif_rejects():
+    assert decode_gif_pixels(b"GIF89a\x00") is None
+    assert decode_gif_pixels(b"not a gif") is None
+    assert decode_gif_pixels(None) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 11),
+    npal=st.sampled_from([2, 5, 16, 256]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_hypothesis(w, h, npal, seed):
+    rng = np.random.RandomState(seed % 2**32)
+    pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, size=(h, w)).astype(np.uint8)
+    px = decode_gif_pixels(encode_gif(idx, pal))
+    assert px is not None and (px == pal[idx]).all()
 
 
 def test_wav_pcm_roundtrip():
