@@ -493,31 +493,96 @@ def decode_gif_pixels(b: bytes | None) -> np.ndarray | None:
     return None
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """REAL (single-frame, non-interlaced) GIF encoder over an index
-    matrix + RGB palette, with genuine LZW compression — round-trips
-    bit-exactly through :func:`decode_gif_pixels`."""
-    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    frames: list[tuple[np.ndarray, int]] | None = None,
+) -> bytes:
+    """REAL (non-interlaced) GIF encoder over an index matrix + RGB
+    palette, with genuine LZW compression — round-trips bit-exactly
+    through :func:`decode_gif_pixels`. Pass ``frames`` as a list of
+    (index_matrix, delay_centiseconds) to emit an animated GIF with a
+    Graphic Control Extension per frame (``indices`` then supplies the
+    canvas size and first frame is frames[0])."""
     pal = np.ascontiguousarray(palette, dtype=np.uint8)
-    h, w = idx.shape
+    idx0 = np.ascontiguousarray(indices, dtype=np.uint8)
+    h, w = idx0.shape
     npal = len(pal)
     bits = max(1, (npal - 1).bit_length())
     full = np.zeros((1 << bits, 3), dtype=np.uint8)
     full[:npal] = pal
     min_code_size = max(2, bits)
-    lzw = _lzw_encode(idx.tobytes(), min_code_size)
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out += bytes([0x80 | (bits - 1), 0, 0])  # global table, size 2^bits
     out += full.tobytes()
-    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0])  # no local table, not interlaced
-    out += bytes([min_code_size])
-    for j in range(0, len(lzw), 255):
-        chunk = lzw[j : j + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    frame_list = frames if frames is not None else [(idx0, 0)]
+    for fidx, delay_cs in frame_list:
+        fi = np.ascontiguousarray(fidx, dtype=np.uint8)
+        fh, fw = fi.shape
+        if frames is not None:
+            # Graphic Control Extension: block size 4, no disposal,
+            # delay in centiseconds, no transparent index
+            out += b"\x21\xf9\x04\x00" + int(delay_cs).to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00" + fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([0])  # no local table, not interlaced
+        out += bytes([min_code_size])
+        lzw = _lzw_encode(fi.tobytes(), min_code_size)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
+
+
+def gif_frame_timeline(b: bytes | None) -> list[tuple[int, int]] | None:
+    """REAL animation timeline from GIF bytes: one (start_ms,
+    duration_ms) per frame, delays read from each frame's Graphic
+    Control Extension (GIF delays are centiseconds; frames with no GCE
+    or zero delay report the de-facto-standard 100ms). Pixel data is
+    skipped over, not decoded — this is the timing side of frame
+    sampling. Non-GIF payloads return None."""
+    if not b or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    i = 13
+    if flags & 0x80:
+        i += 3 * (2 ** ((flags & 7) + 1))
+    n = len(b)
+    frames: list[tuple[int, int]] = []
+    t = 0
+    pending_delay: int | None = None
+    while i < n:
+        block = b[i]
+        if block == 0x21:  # extension
+            label = b[i + 1] if i + 1 < n else None
+            j = i + 2
+            if label == 0xF9 and j < n and b[j] >= 3:
+                pending_delay = int.from_bytes(b[j + 2 : j + 4], "little") * 10
+            while j < n and b[j] != 0:
+                j += 1 + b[j]
+            i = j + 1
+        elif block == 0x2C:  # image descriptor: record frame, skip data
+            if i + 10 > n:
+                break
+            iflags = b[i + 9]
+            i += 10
+            if iflags & 0x80:
+                i += 3 * (2 ** ((iflags & 7) + 1))
+            i += 1  # lzw min code size
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            dur = pending_delay if pending_delay else 100
+            frames.append((t, dur))
+            t += dur
+            pending_delay = None
+        elif block == 0x3B:
+            break
+        else:
+            break
+    return frames or None
 
 
 def _parse_av_header(b: bytes | None) -> tuple[str | None, int | None]:
@@ -849,29 +914,75 @@ def extract_features(
     return media.mapInPandas(run, schema=out_schema)
 
 
+FRAME_SAMPLE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("sample_ts_ms", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_start_ms", T.LongType()),
+        ]
+    )
+)
+
+
+def _make_gif_frame_sampler(every_ms: int):
+    @F.pandas_udf(FRAME_SAMPLE_SCHEMA)
+    def gif_frame_sampler(payload: pd.Series) -> pd.Series:
+        """REAL frame sampling for animated GIF payloads: the timeline
+        (per-frame start/duration) is parsed out of the actual GCE
+        bytes, then one sample is taken every ``every_ms`` and mapped
+        to the frame on screen at that instant. NULL for non-GIF."""
+        out = []
+        for b in payload:
+            tl = gif_frame_timeline(b)
+            if tl is None:
+                out.append(None)
+                continue
+            total = tl[-1][0] + tl[-1][1]
+            rows, fi = [], 0
+            for ts in range(0, total, every_ms):
+                while fi + 1 < len(tl) and tl[fi + 1][0] <= ts:
+                    fi += 1
+                rows.append((ts, fi, tl[fi][0]))
+            out.append(rows)
+        return pd.Series(out, dtype=object)
+
+    return gif_frame_sampler
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,
     payload_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: explodes one row per
-    sampled frame with a frame_ts_ms column. Decode is stubbed; the
-    fake path derives a deterministic frame count from metadata."""
-    if not fake:
-        raise NotImplementedError(
-            "real video frame extraction requires codecs not present here; "
-            "pass fake=True for the deterministic test path"
+    """Frame sampling: one row per sampled frame.
+
+    The REAL path (`fake=False`) works on animated GIF payloads —
+    per-frame timing parsed from the actual bytes (gif_frame_timeline),
+    each sample mapped to the frame on screen at that timestamp. MP4
+    frame extraction stays stubbed (codec-bound); non-GIF payloads
+    yield no rows on the real path. `fake=True` keeps the deterministic
+    metadata-driven stand-in for any format."""
+    if fake:
+        frames = F.sequence(
+            F.lit(0),
+            F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+            F.lit(every_ms),
         )
-    frames = F.sequence(
-        F.lit(0),
-        F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
-        F.lit(every_ms),
-    )
+        return media.select(
+            "media_id",
+            F.explode(frames).alias("frame_ts_ms"),
+            F.md5(F.concat_ws(":", F.col("media_id"), F.col(payload_col).cast("string"))).alias(
+                "frame_content_id"
+            ),
+        )
+    sampler = _make_gif_frame_sampler(every_ms)
     return media.select(
+        "media_id", F.explode(sampler(F.col(payload_col))).alias("s")
+    ).select(
         "media_id",
-        F.explode(frames).alias("frame_ts_ms"),
-        F.md5(F.concat_ws(":", F.col("media_id"), F.col(payload_col).cast("string"))).alias(
-            "frame_content_id"
-        ),
+        F.col("s.sample_ts_ms").alias("frame_ts_ms"),
+        F.col("s.frame_index").alias("frame_index"),
+        F.col("s.frame_start_ms").alias("frame_start_ms"),
     )

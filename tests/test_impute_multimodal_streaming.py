@@ -153,6 +153,32 @@ def test_av_header_parse_roundtrip(spark):
     assert out["none"] == (None, None)
 
 
+def test_multimodal_real_gif_frame_sampling(spark):
+    """sample_frames(fake=False) is REAL for animated GIF: sample
+    timestamps map to the frame actually on screen per the GCE delays
+    parsed from the bytes; non-GIF payloads yield no rows."""
+    import numpy as np
+
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import encode_gif
+
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    frames = [
+        (rng.randint(0, 4, size=(3, 3)).astype(np.uint8), d) for d in (30, 30, 100)
+    ]  # 300ms + 300ms + 1000ms = 1600ms total
+    gif = encode_gif(frames[0][0], pal, frames=frames)
+    media = spark.createDataFrame(
+        [("g1", "video", bytearray(gif), None),
+         ("x1", "video", b"not media", None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, every_ms=250, fake=False).collect()
+    assert {r["media_id"] for r in rows} == {"g1"}
+    got = [(r["frame_ts_ms"], r["frame_index"]) for r in sorted(rows, key=lambda r: r["frame_ts_ms"])]
+    # frame starts: 0, 300, 600; samples every 250ms over [0, 1600)
+    assert got == [(0, 0), (250, 0), (500, 1), (750, 2), (1000, 2), (1250, 2), (1500, 2)]
+
+
 def test_multimodal_frame_sampling(spark):
     media = spark.createDataFrame(
         [("v1", "video", b"fakebytes", ("video/mp4", None, None, 3500))],

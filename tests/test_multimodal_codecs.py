@@ -197,6 +197,28 @@ def test_gif_roundtrip_hypothesis(w, h, npal, seed):
     assert px is not None and (px == pal[idx]).all()
 
 
+def test_gif_animated_timeline():
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        gif_frame_timeline,
+    )
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    fr = [
+        (rng.randint(0, 4, size=(5, 5)).astype(np.uint8), d) for d in (25, 7, 50)
+    ]
+    b = encode_gif(fr[0][0], pal, frames=fr)
+    tl = gif_frame_timeline(b)
+    # delays are centiseconds -> ms
+    assert tl == [(0, 250), (250, 70), (320, 500)]
+    # first frame decodes normally through the GCE blocks
+    px = decode_gif_pixels(b)
+    assert px is not None and (px == pal[fr[0][0]]).all()
+    # single-frame (no GCE) files report one frame at the 100ms default
+    assert gif_frame_timeline(encode_gif(fr[0][0], pal)) == [(0, 100)]
+    assert gif_frame_timeline(b"junk") is None
+
+
 def test_wav_pcm_roundtrip():
     s = ramp_samples(473, 11)
     b = make_wav_pcm(s)
