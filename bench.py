@@ -56,6 +56,9 @@ HEADLINE = [
     "knn_impute",
     "media_meta",
     "media_header",
+    "media_pixel_stats",
+    "media_gif_stats",
+    "media_audio_stats",
     "matches_per_entity",
     "feature_corr",
     "cluster_stats",
