@@ -140,3 +140,19 @@ def test_clusters_jsonl_sink(run, tmp_path):
     assert lines and all({"cluster_id", "size", "entities"} <= set(line) for line in lines)
     assert all(line["size"] == len(line["entities"]) for line in lines)
     assert all(line["size"] >= 2 for line in lines)
+
+
+def test_empty_corpus_runs_clean(spark, tmp_path_factory):
+    """A 0-row pages input must flow through every stage (extract,
+    block, pair, score, cluster) without crashing and produce an empty,
+    correctly-shaped label frame — degenerate partitions exist at web
+    scale whenever a filter or a date-range prunes everything."""
+    from entity_resolution_pipeline_v1_spark.config import PipelineConfig
+    from entity_resolution_pipeline_v1_spark.plans.pipeline import ERPipeline
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    pg = P.pages_view(P.generate_corpus(spark, n_records=8, seed=7)).filter("1=0")
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path_factory.mktemp("empty")))
+    out = ERPipeline(spark, cfg).run(pg)
+    assert out.count() == 0
+    assert set(out.columns) >= {"record_id", "cluster_id"}
