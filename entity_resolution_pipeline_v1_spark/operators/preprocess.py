@@ -37,8 +37,14 @@ def parse_records(pages_extracted: DataFrame, text_col: str = "extracted_text") 
     recovered from the url tail; composite = the full text.
     """
     parts = F.split(F.col(text_col), r" \| ")
+    # regexp_extract returns '' (not NULL) on no-match: without the
+    # fallback every nonconforming url in a web-scale corpus would
+    # silently collapse into ONE empty-string record identity — a
+    # catastrophic skew + correctness hazard. Unrecognized urls keep a
+    # stable per-url identity instead.
+    rid = F.nullif(F.regexp_extract("url", r"/p/([^/]+)$", 1), F.lit(""))
     df = pages_extracted.select(
-        F.regexp_extract("url", r"/p/([^/]+)$", 1).alias("record_id"),
+        F.coalesce(rid, F.md5("url")).alias("record_id"),
         F.col("url"),
         F.col(text_col).alias("composite"),
         F.nullif(F.trim(parts.getItem(0)), F.lit("")).alias("person"),

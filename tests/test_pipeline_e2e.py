@@ -156,3 +156,28 @@ def test_empty_corpus_runs_clean(spark, tmp_path_factory):
     out = ERPipeline(spark, cfg).run(pg)
     assert out.count() == 0
     assert set(out.columns) >= {"record_id", "cluster_id"}
+
+
+def test_exact_duplicate_flood_forms_flagged_cluster(spark, tmp_path_factory):
+    """200 byte-identical pages (distinct urls) must come out as ONE
+    cluster of 200, kept but flagged oversized (> max_cluster_size=100)
+    — boilerplate floods are the canonical web-scale skew case and must
+    neither explode the pair space nor silently vanish."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_v1_spark.config import PipelineConfig
+    from entity_resolution_pipeline_v1_spark.plans.pipeline import ERPipeline
+    from entity_resolution_pipeline_v1_spark.sources import pages as P
+
+    base = P.pages_view(P.generate_corpus(spark, n_records=8, seed=7)).limit(1)
+    dup = base.crossJoin(spark.range(200)).withColumn(
+        "url", F.concat(F.lit("https://host.example/p/dup"), F.col("id").cast("string"))
+    ).drop("id")
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path_factory.mktemp("dupflood")))
+    out = ERPipeline(spark, cfg).run(dup)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min(F.col("oversized").cast("int")).alias("ovr"),
+    ).collect()[0]
+    assert (agg["n"], agg["k"], agg["ovr"]) == (200, 1, 1)

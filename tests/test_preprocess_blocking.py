@@ -42,6 +42,22 @@ def test_parse_records_roundtrip(spark, corpus):
     assert recs.count() == corpus.count()
 
 
+def test_parse_records_nonconforming_urls_keep_distinct_ids(spark, corpus):
+    """regexp_extract returns '' (not NULL) on no-match: without a
+    fallback, EVERY url that misses the /p/<id> pattern in a web-scale
+    corpus would collapse into one empty-string record identity —
+    catastrophic skew and wrong merges. Nonconforming urls must keep a
+    stable distinct identity."""
+    pg = P.pages_view(corpus).withColumn(
+        "url",
+        F.concat(F.lit("https://weird.example/x/"), F.monotonically_increasing_id().cast("string")),
+    )
+    recs = preprocess.parse_records(extract.extract_text(pg, mode="main"))
+    n = recs.count()
+    assert recs.filter(F.col("record_id") == "").count() == 0
+    assert recs.select("record_id").distinct().count() == n
+
+
 def test_records_wide_has_vectors(spark, corpus):
     ext = extract.extract_text(P.pages_view(corpus), mode="main")
     recs = preprocess.parse_records(ext)
