@@ -346,6 +346,14 @@ def _jw_group(
     return np.where(sa == sb, 1.0, out)
 
 
+# JW is a NAME similarity; its match-window arithmetic is O(len·d) per
+# pair and the batch char matrix is O(batch × longest-string). One
+# pathological multi-KB "name" from dirty web text would both distort
+# the measure and blow the matrix, so inputs are capped here — at the
+# UDF boundary, identically for every backend, far above any real name.
+JW_MAX_LEN = 512
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaro-Winkler similarity (north_rule extra; not in the reference).
@@ -353,7 +361,10 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     batch-vectorized implementation — either way Arrow-batched with no
     per-row Python in the hot path. Distinct (a,b) pairs are scored
     once per batch (candidate pairs repeat the same name pairs across
-    blocks) and broadcast back via the factorize inverse."""
+    blocks) and broadcast back via the factorize inverse. Inputs are
+    capped at JW_MAX_LEN chars (defensive; see note above)."""
+    a = a.str.slice(0, JW_MAX_LEN)
+    b = b.str.slice(0, JW_MAX_LEN)
     try:
         from rapidfuzz.distance import JaroWinkler
 

@@ -175,6 +175,21 @@ def test_jw_batch_hypothesis_parity():
     _check()
 
 
+def test_jaro_winkler_pathological_lengths(spark):
+    """Multi-KB 'names' must neither blow the batch char matrix nor
+    distort results: inputs are capped at JW_MAX_LEN, so two strings
+    identical through the cap score 1.0 and the call returns quickly."""
+    long_a = "x" * 50_000
+    df = spark.createDataFrame(
+        [(long_a, long_a), (long_a, long_a[:-1] + "y"), (long_a, "short")],
+        "a string, b string",
+    )
+    got = [r["j"] for r in df.select(S.jaro_winkler_udf("a", "b").alias("j")).collect()]
+    assert got[0] == 1.0
+    assert got[1] == 1.0  # differs only beyond the cap
+    assert 0.0 <= got[2] < 1.0
+
+
 def test_jaro_winkler(spark):
     df = spark.createDataFrame(
         [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("abc", "abc"), ("", "abc"), (None, "x")],
