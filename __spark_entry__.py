@@ -651,6 +651,25 @@ def _q_media_gif_stats(spark, sf_dir):
     )
 
 
+def _q_media_frame_sampling(spark, sf_dir):
+    # REAL frame sampling: 3-frame animated GIFs whose GCE delays are a
+    # closed form of doc_id, frame timeline parsed back out of the
+    # actual extension bytes (multimodal.gif_frame_timeline), one
+    # sample every 50ms mapped to the frame on screen. The oracle
+    # recomputes timeline + mapping arithmetically.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        anim_gif_udf,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        anim_gif_udf(F.col("doc_id").cast("long")).alias("payload"),
+    )
+    return sample_frames(media, every_ms=50, fake=False)
+
+
 def _q_media_audio_stats(spark, sf_dir):
     # REAL sample decode for audio: a closed-form int16 ramp encoded
     # into REAL PCM WAV bytes, samples decoded back out of the bytes
@@ -781,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_stats": _q_media_pixel_stats,
         "media_gif_stats": _q_media_gif_stats,
         "media_audio_stats": _q_media_audio_stats,
+        "media_frame_sampling": _q_media_frame_sampling,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
         "cluster_stats": _q_cluster_stats,
@@ -1136,6 +1156,25 @@ def oracle_sql() -> dict[str, str]:
                  generate_series(0, 8) AS y(y)
             WHERE x.x < d.w AND y.y < d.h
             GROUP BY d.doc_id, d.w, d.h
+        """,
+        "media_frame_sampling": """
+            WITH t AS (
+                SELECT doc_id,
+                       ((doc_id + 0) % 8 + 2) * 10 AS d0,
+                       ((doc_id + 1) % 8 + 2) * 10 AS d1,
+                       ((doc_id + 2) % 8 + 2) * 10 AS d2
+                FROM documents
+            )
+            SELECT t.doc_id AS media_id,
+                   CAST(g.ts AS BIGINT) AS frame_ts_ms,
+                   CAST(CASE WHEN g.ts >= t.d0 + t.d1 THEN 2
+                             WHEN g.ts >= t.d0 THEN 1
+                             ELSE 0 END AS INT) AS frame_index,
+                   CAST(CASE WHEN g.ts >= t.d0 + t.d1 THEN t.d0 + t.d1
+                             WHEN g.ts >= t.d0 THEN t.d0
+                             ELSE 0 END AS BIGINT) AS frame_start_ms
+            FROM t, generate_series(0, 300, 50) AS g(ts)
+            WHERE g.ts < t.d0 + t.d1 + t.d2
         """,
         "media_audio_stats": """
             WITH dims AS (

@@ -829,6 +829,25 @@ def ramp_wav_udf(n_samples: pd.Series, seed: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def anim_gif_udf(seed: pd.Series) -> pd.Series:
+    """3-frame animated GIF per row whose GCE delays are a closed form
+    of seed — delay_k = ((seed + k) mod 8 + 2) centiseconds — so a SQL
+    oracle can recompute the frame timeline while the engine parses it
+    back out of real bytes (gif_frame_timeline / sample_frames)."""
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    pal[1] = 255
+    out = []
+    for s in seed:
+        s = int(s)
+        fr = [
+            (np.full((2, 2), k % 2, dtype=np.uint8), (s + k) % 8 + 2)
+            for k in range(3)
+        ]
+        out.append(encode_gif(fr[0][0], pal, frames=fr))
+    return pd.Series(out, dtype=object)
+
+
 def _fake_feature(payload: bytes | None, dim: int) -> list[float] | None:
     """Deterministic stand-in for a real decode+embed: md5-seeded
     pseudo-features. NOT a real decoder — see module docstring."""
