@@ -368,10 +368,24 @@ def _q_ivf_topk_exact(spark, sf_dir):
 def _q_winnow_docs(spark, sf_dir):
     # rows-only check (no SQL oracle; golden-hash pinned in
     # tests/test_entry_oracle.py): winnowing document fingerprints
-    # (Schleimer et al., SIGMOD'03) — robust near-dup identity
+    # (Schleimer et al., SIGMOD'03) — robust near-dup identity.
+    # Emitted as SCALAR rows (doc_id, fingerprint) — the round-4 form
+    # returned the array<long> column itself, which the driver's
+    # pandas-based row canonicalizer cannot hash (CORRECTNESS_r04's one
+    # red row: "unhashable type: 'list'")
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", winnow_fingerprint_udf(F.col("text")).alias("fingerprints")
+    ).select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+
+
+def _q_winnow_dedup(spark, sf_dir):
+    # rows-only check (golden-hash pinned): the winnowing near-dup PAIR
+    # operator — fingerprints as inverted-index block keys, exact
+    # fingerprint-Jaccard verify (operators/dedup.winnow_dedup)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_dedup(d, jaccard_threshold=0.35).select(
+        "id1", "id2", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -719,6 +733,34 @@ def _q_media_av_header(spark, sf_dir):
     )
 
 
+def _q_prefilter_cascade(spark, sf_dir):
+    # C4/C5/C6 prefilter cascade + low-info corroboration cap
+    # (reference src/classification.py:543-619) end-to-end through
+    # classify_pairs with the reference_parity thresholds
+    # (config.yml:96-99) and the golden model, over a closed-form
+    # feature matrix derived from doc_id — the DuckDB oracle recomputes
+    # the full CASE cascade + sigmoid arithmetically (the same trick
+    # year_cascade uses). Until round 5 these branches had pytest-only
+    # evidence.
+    from entity_resolution_pipeline_v1_spark.config import FEATURE_NAMES, PipelineConfig
+    from entity_resolution_pipeline_v1_spark.operators.classify import Model, classify_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    cols = [F.col("doc_id").alias("id1"), (F.col("doc_id") + 1).alias("id2")]
+    for i, name in enumerate(FEATURE_NAMES):
+        cols.append((((F.col("doc_id") + F.lit(i * 7)) % 101) / F.lit(100.0)).alias(name))
+    cols.append(F.when(F.col("doc_id") % 7 == 0, 1.0).otherwise(0.0).alias("year_match"))
+    cols.append(F.when(F.col("doc_id") % 5 == 0, 1.0).otherwise(0.0).alias("low_info_name"))
+    cols.append(((F.col("doc_id") % 4) / F.lit(10.0)).alias("title_jaccard"))
+    cols.append(((F.col("doc_id") % 9) / F.lit(10.0)).alias("subjects_jaccard"))
+    featured = d.select(*cols)
+    cfg = PipelineConfig.reference_parity()
+    out = classify_pairs(featured, Model.golden(), cfg, year_match_col=F.col("year_match"))
+    return out.select(
+        "id1", "id2", F.round("confidence", 4).alias("confidence"), "is_match"
+    )
+
+
 def _q_matches_per_entity(spark, sf_dir):
     # A7: match edges touching each entity (reference analysis.py
     # 'most connected entities')
@@ -788,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
         "winnow_docs": _q_winnow_docs,
+        "winnow_dedup": _q_winnow_dedup,
+        "prefilter_cascade": _q_prefilter_cascade,
         "ivf_topk_exact": _q_ivf_topk_exact,
         "connected_components": _q_connected_components,
         "year_cascade": _q_year_cascade,
@@ -888,6 +932,63 @@ def _year_cascade_oracle() -> str:
             FROM ys
         )
         SELECT doc_id, person, {birth_case} AS birth, {death_case} AS death FROM s
+    """
+
+
+def _prefilter_cascade_oracle() -> str:
+    """The full C4/C5/C6 + corroboration-cap cascade as one closed-form
+    SQL CASE over the same doc_id-derived feature matrix. Model weights
+    enter via CAST('…' AS DOUBLE) — a string→double parse is correctly
+    rounded once, whereas a bare 17-digit literal would be parsed as
+    DECIMAL(18,17) and converted int64→double/10^17 with TWO roundings
+    (both operands exceed 2^53), a 1-ulp landmine the Spark side never
+    takes."""
+    from entity_resolution_pipeline_v1_spark.config import (
+        FEATURE_NAMES,
+        GOLDEN_BIAS,
+        GOLDEN_WEIGHTS,
+    )
+
+    feats = ",\n                   ".join(
+        f"((doc_id + {i * 7}) % 101) / 100.0 AS {name}"
+        for i, name in enumerate(FEATURE_NAMES)
+    )
+    # score_expr folds left-to-right in model-weight order: bias first,
+    # then one w*x term per feature — replicated verbatim (float
+    # addition is order-sensitive)
+    z = f"CAST('{GOLDEN_BIAS!r}' AS DOUBLE)"
+    for name in GOLDEN_WEIGHTS:
+        z += f" + CAST('{GOLDEN_WEIGHTS[name]!r}' AS DOUBLE)*{name}"
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   {feats},
+                   CASE WHEN doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS year_match,
+                   CASE WHEN doc_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS low_info_name,
+                   (doc_id % 4) / 10.0 AS title_jaccard,
+                   (doc_id % 9) / 10.0 AS subjects_jaccard
+            FROM documents
+        ), s AS (
+            SELECT *, 1.0 / (1.0 + exp(-({z}))) AS base FROM f
+        ), c AS (
+            SELECT doc_id, year_match, low_info_name, title_jaccard, subjects_jaccard,
+                   CASE WHEN composite_cosine >= 0.65 THEN 0.90
+                        WHEN year_match >= 1.0 AND person_cosine >= 0.5 THEN 0.95
+                        WHEN person_cosine < 0.70 THEN 0.25
+                        ELSE base END AS conf
+            FROM s
+        ), capped AS (
+            SELECT doc_id,
+                   CASE WHEN low_info_name >= 1.0
+                             AND NOT (title_jaccard >= 0.3 OR subjects_jaccard >= 0.8
+                                      OR year_match >= 1.0)
+                        THEN least(conf, 0.5) ELSE conf END AS confidence
+            FROM c
+        )
+        SELECT doc_id AS id1, doc_id + 1 AS id2,
+               round(confidence, 4) AS confidence,
+               confidence >= 0.75 AS is_match
+        FROM capped
     """
 
 
@@ -1217,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS record_id, min(lbl) AS cluster_id FROM walk GROUP BY u
         """,
         "year_cascade": _year_cascade_oracle(),
+        "prefilter_cascade": _prefilter_cascade_oracle(),
         "jaro_winkler_pairs": """
             SELECT a.doc_id AS id1, b.doc_id AS id2,
                    round(CASE

@@ -1,11 +1,14 @@
 """Document deduplication suite for web-scale training-data pipelines.
 
-Five dedup families over a documents(doc_id, text, ...) table:
+Six dedup families over a documents(doc_id, text, ...) table:
 
   exact          — md5 hash-groupBy (one shuffle, keep min id)
   minhash_lsh    — shingle -> MinHash -> band keys -> bucket join,
                    verified by true Jaccard on candidates
   simhash        — 64-bit SimHash, banded Hamming blocking
+  winnow         — winnowing fingerprints (Schleimer et al. SIGMOD'03)
+                   as inverted-index block keys, exact fingerprint-
+                   Jaccard verify
   ngram_jaccard  — direct n-gram Jaccard over candidate pairs
   embedding      — cosine near-dup over an embedding column
 
@@ -31,6 +34,7 @@ from ..functions.sketches import (
     minhash_est_jaccard_udf,
     simhash_band_keys,
     simhash_udf,
+    winnow_fingerprint_udf,
 )
 
 
@@ -232,6 +236,67 @@ def simhash_dedup(
         )
         .dropDuplicates(["id1", "id2"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnow_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    max_block: int = 5000,
+    key_sample_mod: int = 1,
+) -> DataFrame:
+    """Winnowing near-dup pairs — the third sketch-based dedup family
+    beside minhash/simhash (wires the fingerprints from
+    functions/sketches.winnow_fingerprint_udf into an actual pair
+    operator).
+
+    Blocking: every winnowing fingerprint IS a block key (the MOSS
+    inverted-index scheme, Schleimer et al. SIGMOD'03 §4) — documents
+    sharing any fingerprint meet in one equi-join bucket, so recall is
+    PERFECT for every pair with fingerprint-Jaccard > 0 (any shared
+    fingerprint puts the pair in that fingerprint's bucket), before
+    hot-key capping. Verify: exact Jaccard over the full fingerprint
+    arrays on candidates only.
+
+    100-TB shape, same machinery as minhash_lsh_dedup: compact long
+    keys shuffle (never text), ``max_block`` anti-joins out degenerate
+    fingerprints (boilerplate shared by 10^5 docs would emit 10^10
+    candidate rows from one bucket), the expensive verify runs on
+    candidates only, no driver actions, no forced broadcasts (the hot
+    list is a bounded aggregate, broadcast explicitly).
+
+    ``key_sample_mod`` > 1 keeps only fingerprints ≡ 0 (mod m) as
+    block keys (the standard "0 mod p" super-fingerprint selection) —
+    an m× candidate-volume reduction for corpus-scale runs; recall
+    then holds for pairs sharing ≥ 1 SELECTED fingerprint. The verify
+    always uses ALL fingerprints.
+    """
+    fps = docs.select(
+        F.col(id_col).alias("doc"),
+        winnow_fingerprint_udf(F.col(text_col)).alias("fp"),
+    ).filter(F.size("fp") > 0)
+    keys = fps.select("doc", F.explode("fp").alias("block_key"))
+    if key_sample_mod > 1:
+        keys = keys.filter(F.pmod(F.col("block_key"), F.lit(key_sample_mod)) == 0)
+    hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
+    keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
+    a, b = keys.alias("a"), keys.alias("b")
+    cands = (
+        a.join(b, on="block_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    l = fps.select(F.col("doc").alias("id1"), F.col("fp").alias("fp1"))
+    r = fps.select(F.col("doc").alias("id2"), F.col("fp").alias("fp2"))
+    return (
+        cands.join(l, on="id1")
+        .join(r, on="id2")
+        .withColumn("jaccard", token_jaccard("fp1", "fp2"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
     )
 
 

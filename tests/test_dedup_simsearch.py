@@ -74,6 +74,92 @@ def test_simhash_dedup(docs):
     assert (1, 4) not in got and (1, 5) not in got
 
 
+def test_winnow_dedup_matches_brute_force(spark):
+    """winnow_dedup vs a brute-force oracle on a seeded near-dup corpus:
+    fingerprint-as-key blocking has perfect recall for any pair with
+    fingerprint-Jaccard > 0 (a shared fingerprint puts the pair in that
+    fingerprint's bucket), so at any threshold the operator must equal
+    the all-pairs fingerprint-Jaccard filter exactly."""
+    import random
+
+    from entity_resolution_pipeline_v1_spark.functions.sketches import (
+        winnow_fingerprint_udf,
+    )
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    doc_id = 0
+    for _ in range(8):
+        base = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((doc_id, base))
+        doc_id += 1
+        for _ in range(2):  # two mutated variants per base
+            toks = base.split()
+            for _ in range(3):
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprint_udf(F.col("text")).alias("fp")
+        ).collect()
+    }
+    thr = 0.4
+    expected = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = fps[a] | fps[b]
+            j = len(fps[a] & fps[b]) / len(u) if u else 0.0
+            if j >= thr:
+                expected[(a, b)] = j
+    assert len(expected) >= 8, "fixture too easy — no near-dups planted"
+
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.winnow_dedup(docs, jaccard_threshold=thr).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12
+
+
+def test_winnow_dedup_hot_key_cap_and_sampling(spark):
+    """max_block anti-joins degenerate fingerprints (boilerplate) out;
+    key_sample_mod thins block keys but verify still uses ALL
+    fingerprints, so surviving pairs keep their exact Jaccard."""
+    boiler = "identical boilerplate header and footer text repeated " * 4
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, "a genuinely unique document about winnowing fingerprints today"),
+             (101, "a genuinely unique document about winnowing fingerprints tonight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every boilerplate fingerprint has 30 members -> capped at 10; the
+    # unique pair's keys have 2 members and survive
+    got = {
+        (r["id1"], r["id2"])
+        for r in dedup.winnow_dedup(docs, jaccard_threshold=0.5, max_block=10).collect()
+    }
+    assert got == {(100, 101)}
+    # sampling: with mod=4 only fingerprints ≡ 0 (mod 4) block, but the
+    # emitted jaccard is still over the FULL fingerprint sets
+    full = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.winnow_dedup(docs, jaccard_threshold=0.5, max_block=10).collect()
+    }
+    sampled = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.winnow_dedup(
+            docs, jaccard_threshold=0.5, max_block=10, key_sample_mod=4
+        ).collect()
+    }
+    for k, j in sampled.items():
+        assert abs(j - full[k]) < 1e-12
+
+
 def test_ngram_jaccard(docs, spark):
     cand = spark.createDataFrame([(1, 2), (1, 4)], "id1 long, id2 long")
     out = {(r["id1"], r["id2"]): r["ngram_jaccard"] for r in dedup.ngram_jaccard_pairs(docs, cand).collect()}

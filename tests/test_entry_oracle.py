@@ -86,7 +86,8 @@ def test_entry_runs(spark):
 GOLDEN_HASHES = {
     "simhash_docs": "3d02d5a1a719d7b6e195f7e0000071d1",  # 500 rows
     "minhash_near_dup": "26925a51e9dbca7143bbeea6a6efd94b",  # 28 rows
-    "winnow_docs": "fe527d12e82f0d8df1d01882c0a1ef53",  # 500 rows
+    "winnow_docs": "5c25c58c90e4367d93935612b778a245",  # 43698 rows (scalar explode)
+    "winnow_dedup": "3fc8365f0494b5b51669d52e4b4f4c87",  # 28 rows
 }
 
 

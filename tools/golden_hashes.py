@@ -17,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 if __name__ == "__main__":
     spark = get_spark(app_name="golden-hashes", cpus=8)
-    for name in ("simhash_docs", "minhash_near_dup", "winnow_docs"):
+    for name in ("simhash_docs", "minhash_near_dup", "winnow_docs", "winnow_dedup"):
         df = E.queries()[name](spark, SF_DIR)
         rows = sorted(tuple(r) for r in df.collect())
         h = hashlib.md5(repr(rows).encode()).hexdigest()
