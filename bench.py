@@ -699,6 +699,31 @@ def run_scaling(time_budget_sec: int = 2100) -> dict:
         shutil.rmtree(fixture, ignore_errors=True)
 
 
+def _compact(res: dict) -> dict:
+    """The one-line stdout summary. BENCH_r04.json was lost because the
+    full result (32 query timings + er attempt telemetry + scaling
+    attempt log) outgrew the driver's ~2000-char stdout capture and the
+    recorded tail began mid-JSON. stdout now carries ONLY this compact
+    line (measured ~1.2KB); the full record goes to BENCH_LOCAL.json,
+    committed alongside the code."""
+    out = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "queries": {k: round(v, 2) for k, v in res["queries"].items()},
+        "sf": res["sf"],
+        "cpus": res["cpus"],
+        "er_pairs_scored": res["er_pairs_scored"],
+        "er_pairs_per_sec": res["er_pairs_per_sec"],
+    }
+    det = res.get("er_scaling_detail")
+    if det:
+        out[det["metric"]] = det["value"]
+        out["er_scaling_throughput"] = det["throughput"]
+    out["full_record"] = "BENCH_LOCAL.json"
+    return out
+
+
 if __name__ == "__main__":
     if "--er-worker" in sys.argv:
         n_rec = None
@@ -720,4 +745,8 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_queries(skip_scaling="--no-scaling" in sys.argv)))
+        res = run_queries(skip_scaling="--no-scaling" in sys.argv)
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(json.dumps(_compact(res)), flush=True)

@@ -354,28 +354,30 @@ def _jw_group(
 JW_MAX_LEN = 512
 
 
-@F.pandas_udf(T.DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Jaro-Winkler similarity (north_rule extra; not in the reference).
-    rapidfuzz's C implementation when available, else the numpy
-    batch-vectorized implementation — either way Arrow-batched with no
-    per-row Python in the hot path. Distinct (a,b) pairs are scored
-    once per batch (candidate pairs repeat the same name pairs across
-    blocks) and broadcast back via the factorize inverse. Inputs are
-    capped at JW_MAX_LEN chars (defensive; see note above)."""
-    a = a.str.slice(0, JW_MAX_LEN)
-    b = b.str.slice(0, JW_MAX_LEN)
+def _jw_score_unique(ua: np.ndarray, ub: np.ndarray) -> np.ndarray:
+    """Score DISTINCT non-null (a, b) pairs: rapidfuzz's C kernel when
+    available (one bounded C call per unique pair), else the numpy
+    batch-vectorized implementation. The distinct-pair dedup lives in
+    the CALLER (_jw_batch_impl) so every backend benefits — round 4's
+    rapidfuzz branch scored each repeated pair per row (candidate pairs
+    repeat name pairs 10-30×, the dict-cosine measurement)."""
     try:
         from rapidfuzz.distance import JaroWinkler
-
-        def row(x, y):
-            if x is None or y is None:
-                return 0.0
-            return float(JaroWinkler.similarity(x, y))
-
-        return pd.Series([row(x, y) for x, y in zip(a, b)], dtype="float64")
     except ImportError:
-        pass
+        return _jaro_winkler_batch(ua, ub)
+    return np.fromiter(
+        (JaroWinkler.similarity(x, y) for x, y in zip(ua, ub)),
+        dtype=np.float64,
+        count=len(ua),
+    )
+
+
+def _jw_batch_impl(a: pd.Series, b: pd.Series) -> pd.Series:
+    """One Arrow batch of Jaro-Winkler: cap lengths, factorize distinct
+    (a,b) pairs ONCE, score each distinct pair once with whichever
+    backend is available, broadcast back via the factorize inverse."""
+    a = a.str.slice(0, JW_MAX_LEN)
+    b = b.str.slice(0, JW_MAX_LEN)
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
     null = pd.isnull(av) | pd.isnull(bv)
     out = np.zeros(len(av), dtype=np.float64)
@@ -384,5 +386,14 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         codes, uniq = pd.factorize(pd.Series(list(zip(ai, bi))), sort=False)
         ua = np.array([u[0] for u in uniq], dtype=object)
         ub = np.array([u[1] for u in uniq], dtype=object)
-        out[~null] = _jaro_winkler_batch(ua, ub)[codes]
+        out[~null] = _jw_score_unique(ua, ub)[codes]
     return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler similarity (north_rule extra; not in the reference).
+    Arrow-batched with no per-row Python in the hot path; distinct
+    (a,b) pairs are scored once per batch regardless of backend.
+    Inputs are capped at JW_MAX_LEN chars (defensive; see note above)."""
+    return _jw_batch_impl(a, b)

@@ -66,28 +66,48 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> labels(record_id, cluster_id).
 
     Alternates large-star / small-star until the edge set fixpoints
     (count + order-insensitive xxhash64 fingerprint). Isolated nodes
     never appear in `edges`, so callers union them back if needed.
+
+    Per-round materialization cuts the exponentially-growing lineage.
+    Default is ``localCheckpoint`` (blocks live in executor storage —
+    fastest, fine for local mode), but those blocks DIE WITH THEIR
+    EXECUTOR: on a real cluster a lost executor mid-iteration kills the
+    job because the truncated lineage cannot recompute. Pass
+    ``checkpoint_dir`` (HDFS/S3/any shared FS) to use reliable
+    ``df.checkpoint()`` instead — each round's edge set persists to the
+    shared store and survives executor loss. Convergence is identical
+    either way (the knob changes only where the materialization lives).
     """
     spark = edges.sparkSession
-    cur = (
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    cur = _materialize(
         edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
     prev_fp = _fingerprint(cur)
     for _ in range(max_iterations):
-        # eager localCheckpoint each round: the edge set shrinks toward
-        # stars, materializing it truncates the exponentially-growing
-        # lineage and makes the fingerprint action free of recompute
-        cur = _small_star(_large_star(_bidirect(cur))).localCheckpoint()
+        # eager materialization each round: the edge set shrinks toward
+        # stars, truncating lineage makes the fingerprint action free
+        # of recompute
+        cur = _materialize(_small_star(_large_star(_bidirect(cur))))
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

@@ -80,3 +80,30 @@ def test_position_in_cluster(spark):
     got = {(r["record_id"]): (r["cluster_id"], r["position"])
            for r in position_in_cluster(labels).collect()}
     assert got == {"r1": (0, 1), "r2": (0, 2), "r3": (0, 3), "r9": (1, 1)}
+
+
+def test_cc_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir switches per-round materialization to reliable
+    df.checkpoint() (survives executor loss on a real cluster);
+    convergence and labels must be identical to the localCheckpoint
+    default, and the checkpoint files must actually land in the dir."""
+    import os
+
+    rng = random.Random(7)
+    nodes = [f"m{i:03d}" for i in range(80)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(0, 25)]
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    base = {(r["record_id"], r["cluster_id"]) for r in connected_components(df).collect()}
+    ckdir = str(tmp_path / "cc_ck")
+    reliable = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == base
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found.extend(files)
+    assert found, "no reliable checkpoint files written"
