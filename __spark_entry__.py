@@ -802,6 +802,76 @@ def _q_cluster_stats(spark, sf_dir):
     )
 
 
+def _q_position_in_cluster(spark, sf_dir):
+    # W4: deterministic 1-based member position within each cluster
+    # (reference src/clustering.py cluster member ordering) — pytest-only
+    # evidence until round 5; orders-per-customer as the cluster set
+    from entity_resolution_pipeline_v1_spark.operators import cluster
+
+    o = _t(spark, sf_dir, "orders")
+    labels = o.select(
+        F.col("o_custkey").alias("cluster_id"), F.col("o_orderkey").alias("record_id")
+    )
+    return cluster.position_in_cluster(labels)
+
+
+def _q_field_hash_counts(spark, sf_dir):
+    # A2/A8: the unpivoted (record, field, value, md5) long table ->
+    # field×hash counts (reference src/preprocessing.py:156-180), over
+    # part fields; DuckDB's md5() is the same lowercase hex
+    from entity_resolution_pipeline_v1_spark.operators import preprocess
+
+    c = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("record_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+    )
+    long = preprocess.long_form(c, fields=("name", "brand", "ptype"))
+    return preprocess.field_hash_counts(long).select(
+        "hash", "field", F.col("count").alias("n")
+    )
+
+
+def _q_confusion_matrix(spark, sf_dir):
+    # error-analysis reports (reference src/reporting.py:85-160): the
+    # zero-filled four-cell confusion matrix over labeled scored pairs,
+    # incl. the NULL-confidence (never-a-candidate -> predicted False)
+    # coalesce rule — new in round 5 alongside reports.error_analysis
+    from entity_resolution_pipeline_v1_spark import reports
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + 1).alias("id2"),
+        (F.col("doc_id") % 3 == 0).alias("match"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("doc_id") % 101) / F.lit(100.0))
+        .alias("confidence"),
+    )
+    return reports.confusion_matrix_df(scored, threshold=0.5).select(
+        "actual", "predicted", F.col("count").alias("n")
+    )
+
+
+def _q_feature_means(spark, sf_dir):
+    # A11: per-feature means split by match label in ONE distributed agg
+    # (reference src/analysis.py feature statistics of true matches)
+    from entity_resolution_pipeline_v1_spark import reports
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "is_match", F.col("l_orderkey") % 2 == 0
+    )
+    out = reports.feature_means(
+        li, ("l_quantity", "l_discount", "l_tax"), label_col="is_match"
+    )
+    return out.select(
+        "feature",
+        F.round("mean_match", 4).alias("mean_match"),
+        F.round("mean_non_match", 4).alias("mean_non_match"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_agg": _q_tpch_q1,
@@ -848,6 +918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
         "cluster_stats": _q_cluster_stats,
+        "position_in_cluster": _q_position_in_cluster,
+        "field_hash_counts": _q_field_hash_counts,
+        "confusion_matrix": _q_confusion_matrix,
+        "feature_means": _q_feature_means,
     }
 
 
@@ -1414,6 +1488,60 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(sz, 0.5), 4) AS median_size,
                    round(stddev(sz), 4) AS std_size
             FROM (SELECT o_custkey, count(*) AS sz FROM orders GROUP BY o_custkey)
+        """,
+        "position_in_cluster": """
+            SELECT o_custkey AS cluster_id, o_orderkey AS record_id,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS position
+            FROM orders
+        """,
+        "field_hash_counts": """
+            WITH long AS (
+                SELECT md5(p_name) AS hash, 'name' AS field
+                FROM part WHERE p_name IS NOT NULL
+                UNION ALL SELECT md5(p_brand), 'brand'
+                FROM part WHERE p_brand IS NOT NULL
+                UNION ALL SELECT md5(p_type), 'ptype'
+                FROM part WHERE p_type IS NOT NULL
+            )
+            SELECT hash, field, count(*) AS n FROM long GROUP BY hash, field
+        """,
+        "confusion_matrix": """
+            WITH scored AS (
+                SELECT doc_id % 3 = 0 AS actual,
+                       coalesce(
+                           CASE WHEN doc_id % 11 = 0 THEN NULL
+                                ELSE (doc_id % 101) / 100.0 END >= 0.5,
+                           FALSE) AS predicted
+                FROM documents
+            ),
+            cells AS (
+                SELECT a.x AS actual, p.x AS predicted
+                FROM (VALUES (TRUE), (FALSE)) a(x)
+                CROSS JOIN (VALUES (TRUE), (FALSE)) p(x)
+            )
+            SELECT c.actual, c.predicted,
+                   CAST(coalesce(s.cnt, 0) AS BIGINT) AS n
+            FROM cells c
+            LEFT JOIN (SELECT actual, predicted, count(*) AS cnt
+                       FROM scored GROUP BY actual, predicted) s
+            ON c.actual = s.actual AND c.predicted = s.predicted
+        """,
+        "feature_means": """
+            SELECT 'l_quantity' AS feature,
+                   round(avg(l_quantity) FILTER (l_orderkey % 2 = 0), 4) AS mean_match,
+                   round(avg(l_quantity) FILTER (l_orderkey % 2 <> 0), 4) AS mean_non_match
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   round(avg(l_discount) FILTER (l_orderkey % 2 = 0), 4),
+                   round(avg(l_discount) FILTER (l_orderkey % 2 <> 0), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax',
+                   round(avg(l_tax) FILTER (l_orderkey % 2 = 0), 4),
+                   round(avg(l_tax) FILTER (l_orderkey % 2 <> 0), 4)
+            FROM lineitem
         """,
     }
     # IVF at nprobe=ALL is exact: same results as brute force, so the

@@ -62,6 +62,10 @@ HEADLINE = [
     "matches_per_entity",
     "feature_corr",
     "cluster_stats",
+    "position_in_cluster",
+    "field_hash_counts",
+    "confusion_matrix",
+    "feature_means",
 ]
 
 ER_RECORDS = int(os.environ.get("SPARK_GRAFT_ER_RECORDS", "20000"))

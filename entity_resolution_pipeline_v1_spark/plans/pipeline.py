@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 from contextlib import contextmanager
 from dataclasses import asdict, dataclass
@@ -234,6 +235,16 @@ class ERPipeline:
             }
             if labeled_pairs is not None:
                 evaluation["pairwise"] = reports.pairwise_metrics(labels, labeled_pairs)
+                # error-analysis set (confusion matrix, test-set
+                # summary, misclassified / near-threshold examples)
+                # over the labeled pairs scored through the SAME
+                # feature+classify path the production pairs take
+                evaluation["test_set"] = reports.error_analysis(
+                    self._score_labeled(labeled_pairs, wide),
+                    os.path.join(cfg.checkpoint_dir, "reports"),
+                    cfg.match_threshold,
+                    feature_names=ALL_FEATURE_NAMES,
+                )
             reports.write_reports(
                 cfg.checkpoint_dir,
                 deduped,
@@ -249,6 +260,25 @@ class ERPipeline:
                 evaluation=evaluation,
             )
         return labels
+
+    def _score_labeled(self, labels: DataFrame, wide: DataFrame) -> DataFrame:
+        """(id1, id2, match, …features…, confidence, is_match) for the
+        labeled ground-truth pairs, scored through the same hydration +
+        feature + classify path as production candidates — the input to
+        reports.error_analysis."""
+        pair_ids = labels.select(
+            F.col("left").alias("id1"), F.col("right").alias("id2"), "match"
+        )
+        feat = features.with_all_features(
+            features.hydrate_pairs(pair_ids, wide), dim=self.cfg.embedding_dim
+        )
+        return classify.classify_pairs(
+            feat,
+            self.model,
+            self.cfg,
+            year_match_col=F.col("year_match"),
+            keep_columns=("match", *ALL_FEATURE_NAMES),
+        )
 
     # -- training path ------------------------------------------------------
     def _train(self, labels: DataFrame, wide: DataFrame) -> classify.Model:

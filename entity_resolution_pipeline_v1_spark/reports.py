@@ -167,6 +167,119 @@ def feature_correlation(featured: DataFrame, names: tuple[str, ...]) -> DataFram
     )
 
 
+def confusion_matrix_df(labeled_scored: DataFrame, threshold: float) -> DataFrame:
+    """(actual, predicted, count) over labeled scored pairs — all four
+    cells present (zero-filled). ``labeled_scored`` carries (match,
+    confidence); a NULL confidence (pair never became a candidate)
+    predicts False, exactly like pairwise_metrics' coalesce."""
+    pred = F.coalesce(F.col("confidence") >= F.lit(threshold), F.lit(False))
+    cm = (
+        labeled_scored.select(F.col("match").cast("boolean").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("count"))
+    )
+    spark = labeled_scored.sparkSession
+    cells = spark.createDataFrame(
+        [(a, p) for a in (True, False) for p in (True, False)],
+        "actual boolean, predicted boolean",
+    )
+    return cells.join(cm, on=["actual", "predicted"], how="left").select(
+        "actual", "predicted", F.coalesce(F.col("count"), F.lit(0)).alias("count")
+    )
+
+
+def error_analysis(
+    labeled_scored: DataFrame,
+    reports_dir: str,
+    threshold: float,
+    top_n: int = 100,
+    margin: float = 0.05,
+    feature_names: tuple[str, ...] = (),
+) -> dict:
+    """The error-analysis report set the reference's users read daily
+    (reference src/reporting.py:85-160; output/detailed/
+    confusion_matrix.csv, test_set_summary.json,
+    misclassified_examples.csv, potential_misclassifications.{csv,json}).
+
+    ``labeled_scored``: (id1, id2, match, confidence[, feature cols…])
+    — labeled ground-truth pairs scored by the classifier (NULL
+    confidence = never a candidate → predicted False).
+
+    Everything is computed distributed; only the four-cell confusion
+    matrix and the top-N example rows (bounded by construction) land on
+    the driver. Returns the test_set_summary dict."""
+    _ensure(reports_dir)
+    pred = F.coalesce(F.col("confidence") >= F.lit(threshold), F.lit(False))
+    scored = labeled_scored.withColumn("predicted", pred).withColumn(
+        "actual", F.col("match").cast("boolean")
+    )
+
+    cm_df = confusion_matrix_df(labeled_scored, threshold)
+    _write_small_csv(
+        cm_df.orderBy(F.desc("actual"), F.desc("predicted")),
+        os.path.join(reports_dir, "confusion_matrix.csv"),
+    )
+    cm = {(r["actual"], r["predicted"]): r["count"] for r in cm_df.collect()}
+    tp, fp = cm[(True, True)], cm[(False, True)]
+    fn, tn = cm[(True, False)], cm[(False, False)]
+    n = tp + fp + fn + tn
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    summary = {
+        "n_pairs": n,
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "accuracy": round((tp + tn) / max(n, 1), 6),
+        "precision": round(prec, 6),
+        "recall": round(rec, 6),
+        "f1": round(f1, 6),
+        "threshold": threshold,
+    }
+    with open(os.path.join(reports_dir, "test_set_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+
+    keep = ["id1", "id2", "actual", "predicted", "confidence", *[
+        c for c in feature_names if c in labeled_scored.columns
+    ]]
+    # worst offenders first: FPs by confidence descending (most
+    # confidently wrong), FNs ascending (most confidently missed;
+    # never-candidates sort first as NULLs)
+    fps = (
+        scored.filter(~F.col("actual") & F.col("predicted"))
+        .orderBy(F.desc("confidence"), "id1", "id2").limit(top_n).select(*keep)
+    )
+    fns = (
+        scored.filter(F.col("actual") & ~F.col("predicted"))
+        .orderBy(F.asc_nulls_first("confidence"), "id1", "id2").limit(top_n).select(*keep)
+    )
+    _write_small_csv(
+        fps.unionByName(fns), os.path.join(reports_dir, "misclassified_examples.csv")
+    )
+
+    # near-threshold pairs that happen to be CORRECT today — one
+    # retraining away from flipping (the reference's 'potential
+    # misclassifications' list)
+    near = (
+        scored.filter(
+            (F.col("actual") == F.col("predicted"))
+            & F.col("confidence").isNotNull()
+            & (F.abs(F.col("confidence") - F.lit(threshold)) <= F.lit(margin))
+        )
+        .orderBy(F.abs(F.col("confidence") - F.lit(threshold)), "id1", "id2")
+        .limit(top_n)
+        .select(*keep)
+    )
+    near_rows = near.collect()
+    with open(os.path.join(reports_dir, "potential_misclassifications.csv"), "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(near.columns)
+        for r in near_rows:
+            w.writerow([r[c] for c in near.columns])
+    with open(os.path.join(reports_dir, "potential_misclassifications.json"), "w") as fh:
+        json.dump([r.asDict() for r in near_rows], fh, indent=2, default=str)
+    return summary
+
+
 # -- file writers -------------------------------------------------------------
 
 def write_model_parameters(model: Model, reports_dir: str) -> None:

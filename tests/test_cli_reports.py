@@ -175,3 +175,49 @@ def test_read_labeled_pairs_csv(spark, tmp_path):
     assert df.columns == ["left", "right", "match"]
     rows = {(r["left"], r["right"]): r["match"] for r in df.collect()}
     assert rows == {("r1", "r2"): True, ("r1", "r3"): False}
+
+
+def test_error_analysis_reports(spark, tmp_path):
+    """Confusion matrix / test-set summary / misclassified examples /
+    potential misclassifications: schema + counts must agree with a
+    hand-computed confusion matrix over a crafted labeled-scored set."""
+    import csv as _csv
+
+    rows = [
+        # (id1, id2, match, confidence)
+        ("a", "b", True, 0.95),   # TP
+        ("c", "d", True, 0.80),   # TP
+        ("e", "f", True, 0.40),   # FN (scored low)
+        ("g", "h", True, None),   # FN (never a candidate)
+        ("i", "j", False, 0.90),  # FP
+        ("k", "l", False, 0.10),  # TN
+        ("m", "n", False, 0.73),  # TN, near threshold (margin 0.05)
+        ("o", "p", True, 0.77),   # TP, near threshold
+    ]
+    df = spark.createDataFrame(rows, "id1 string, id2 string, match boolean, confidence double")
+    rd = str(tmp_path / "reports")
+    summary = reports.error_analysis(df, rd, threshold=0.75, margin=0.05)
+    assert (summary["tp"], summary["fp"], summary["fn"], summary["tn"]) == (3, 1, 2, 2)
+    assert summary["n_pairs"] == 8
+    assert summary["precision"] == round(3 / 4, 6)
+    assert summary["recall"] == round(3 / 5, 6)
+
+    cm = {
+        (r["actual"], r["predicted"]): int(r["count"])
+        for r in _csv.DictReader(open(os.path.join(rd, "confusion_matrix.csv")))
+    }
+    assert cm == {("True", "True"): 3, ("False", "True"): 1,
+                  ("True", "False"): 2, ("False", "False"): 2}
+
+    mis = list(_csv.DictReader(open(os.path.join(rd, "misclassified_examples.csv"))))
+    assert len(mis) == 3  # 1 FP + 2 FN
+    assert {m["id1"] for m in mis} == {"e", "g", "i"}
+    # FN with NULL confidence (never a candidate) sorts first among FNs
+    fns = [m for m in mis if m["actual"] == "True"]
+    assert fns[0]["id1"] == "g" and fns[0]["confidence"] == ""
+
+    near = json.load(open(os.path.join(rd, "potential_misclassifications.json")))
+    assert {r["id1"] for r in near} == {"m", "o"}  # correct but within ±0.05
+    assert os.path.exists(os.path.join(rd, "potential_misclassifications.csv"))
+    ts = json.load(open(os.path.join(rd, "test_set_summary.json")))
+    assert ts == summary

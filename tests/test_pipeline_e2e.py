@@ -7,6 +7,7 @@ the deterministic fixture.
 
 import glob
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -109,6 +110,22 @@ def test_default_and_tuned_f1_both_recorded(spark, corpus, labeled, tmp_path_fac
     # the gate config must still clear the bar; the default-config F1
     # is recorded, not gated — the visible gap IS the deliverable
     assert ev_t["pairwise"]["f1"] >= 0.99
+
+    # error-analysis set (reference output/detailed/) written during the
+    # same run: confusion matrix cells must sum to the labeled-pair count
+    # and the files users debug classifier quality with must exist
+    for ev in (ev_d, ev_t):
+        ts = ev["test_set"]
+        assert ts["n_pairs"] == ts["tp"] + ts["fp"] + ts["fn"] + ts["tn"] > 0
+    rd = f"{tuned.checkpoint_dir}/reports"
+    for fname in (
+        "confusion_matrix.csv",
+        "test_set_summary.json",
+        "misclassified_examples.csv",
+        "potential_misclassifications.csv",
+        "potential_misclassifications.json",
+    ):
+        assert os.path.exists(f"{rd}/{fname}"), fname
 
 
 def test_resume_skips_stages(run, spark, corpus):
