@@ -202,20 +202,31 @@ class ERPipeline:
         if until == "classify":
             return edges
         deduped = pairs.dedup_scored_pairs(edges, "id1", "id2", "confidence")
+        # raw CC labels (cluster_id = min record in component) are
+        # checkpointed SEPARATELY from the filtered/densely-relabeled
+        # output: incremental() merges new match edges into the raw
+        # component structure without re-running CC over the full graph
+        cc_raw = self._stage(
+            "cc_raw",
+            lambda: cluster.connected_components(
+                deduped.filter(F.col("confidence") >= cfg.edge_threshold).select(
+                    F.col("id1").alias("src"), F.col("id2").alias("dst")
+                ),
+            ),
+            resume,
+            extra_fp=self._model_fp(),
+        )
+        if until == "cc_raw":
+            return cc_raw
         labels = self._stage(
             "cluster",
             lambda: cluster.filter_and_relabel(
-                cluster.connected_components(
-                    deduped.filter(F.col("confidence") >= cfg.edge_threshold).select(
-                        F.col("id1").alias("src"), F.col("id2").alias("dst")
-                    ),
-                ),
-                cfg.min_cluster_size,
-                cfg.max_cluster_size,
+                cc_raw, cfg.min_cluster_size, cfg.max_cluster_size
             ),
             resume,
             extra_fp=self._model_fp(),  # cluster input is classify output
         )
+        self._save_model()
         if cfg.generate_reports:
             from .. import reports
 
@@ -259,6 +270,183 @@ class ERPipeline:
                 ],
                 evaluation=evaluation,
             )
+        return labels
+
+    # -- incremental path ----------------------------------------------------
+    def _save_model(self) -> None:
+        """Persist the run's model next to the stage checkpoints so a
+        later incremental() in a fresh process scores new batches with
+        the SAME classifier (the classify-stage fingerprint already
+        guards against silently mixing models)."""
+        if self.model is not None:
+            self.model.save(os.path.join(self.cfg.checkpoint_dir, "model.json"))
+
+    def _inc_dirs(self) -> list[str]:
+        """Completed increment dirs under the work dir, in batch order
+        (inc=1, inc=2, ...). An increment is complete when its merged
+        cc_raw manifest exists — the last thing incremental() writes."""
+        out = []
+        i = 1
+        while sinks.stage_complete(
+            os.path.join(self.cfg.checkpoint_dir, f"inc={i}"), "cc_raw"
+        ):
+            out.append(os.path.join(self.cfg.checkpoint_dir, f"inc={i}"))
+            i += 1
+        return out
+
+    def _read_union(self, stage: str, dirs: list[str]) -> DataFrame:
+        df = sinks.read_stage(self.spark, dirs[0], stage)
+        for d in dirs[1:]:
+            df = df.unionByName(sinks.read_stage(self.spark, d, stage))
+        return df
+
+    def incremental(self, new_pages: DataFrame) -> DataFrame:
+        """Attach a new batch of pages to an existing completed run —
+        the operation a production deployment performs daily instead of
+        re-clustering the whole corpus (the reference has no analogue;
+        its networkx clustering is rebuilt from scratch each run,
+        src/clustering.py:45-105).
+
+        Scale shape:
+        - new records are extracted/embedded alone (the embedder is
+          deterministic per string, so batch boundaries cannot change a
+          vector);
+        - blocking keys ARE recomputed over the combined corpus — one
+          cheap key pass over all records, required so rank-based
+          sorted-neighborhood keys see the combined sort and equi-key
+          families assign exactly the keys a full rerun would;
+        - candidate pairs are restricted to those touching a new record
+          (semi-join the new ids against the block table, then one
+          new-side×all equi-join) — the expensive score/classify stage
+          is delta-proportional, never O(all²);
+        - clustering merges the new match edges into the persisted raw
+          CC labels: only components TOUCHED by a new edge re-run
+          connected components (each old component collapses to a star
+          around its min-record root, so the delta CC converges in ~2
+          rounds); untouched components are carried over by anti-join.
+
+        Equivalence vs a full rerun: exact for the equi-key blocking
+        families (same keys -> same pairs; old-old pairs were already
+        scored in the base run). Sorted-neighborhood old-old pairs
+        whose window distance changed when new records were inserted
+        into the sort are the one divergence — bounded by the window
+        and covered by the redundant key families in practice.
+
+        Each call writes a self-contained increment dir
+        (<work>/inc=<k>/stage=...) holding the NEW batch's records/
+        wide/edges plus the MERGED raw labels, so increments chain:
+        the next call unions records and wide across base + increments
+        and reads the latest merged cc_raw. Returns the filtered,
+        densely-relabeled labels over the combined corpus."""
+        cfg = self.cfg
+        work = cfg.checkpoint_dir
+        for st in ("preprocess", "records_wide", "cc_raw"):
+            if not sinks.stage_complete(work, st):
+                raise ValueError(
+                    f"incremental() needs a completed base run in {work}: "
+                    f"stage '{st}' has no checkpoint"
+                )
+        incs = self._inc_dirs()
+        base_dirs = [work, *incs]
+        if self.model is None:
+            mp = os.path.join(work, "model.json")
+            self.model = (
+                classify.Model.load(mp) if os.path.exists(mp) else classify.Model.golden()
+            )
+        out_dir = os.path.join(work, f"inc={len(incs) + 1}")
+        fp = self._fingerprint()
+        fp_m = self._fingerprint(self._model_fp())
+        t0 = time.time()
+
+        new_records = sinks.write_stage(
+            preprocess.parse_records(extract.extract_text(new_pages, mode="main")),
+            out_dir, "preprocess", fingerprint=fp,
+        )
+        uniq = preprocess.unique_strings(
+            preprocess.long_form(new_records), cfg.min_string_frequency
+        )
+        new_wide = sinks.write_stage(
+            preprocess.records_wide(
+                new_records, preprocess.embed_unique(uniq, cfg.embedding_dim)
+            ),
+            out_dir, "records_wide", fingerprint=fp,
+        )
+
+        combined_records = self._read_union("preprocess", base_dirs).unionByName(
+            new_records
+        )
+        blocks = blocking.cap_blocks(
+            blocking.build_blocks(
+                combined_records,
+                num_hashes=cfg.minhash_num_hashes,
+                bands=cfg.minhash_bands,
+                sn_window=cfg.sorted_neighborhood_window,
+            ),
+            cfg.max_block_size,
+        )
+        new_ids = new_records.select("record_id")
+        new_side = blocks.join(new_ids, on="record_id", how="left_semi")
+        cand = (
+            new_side.alias("a")
+            .join(blocks.alias("b"), on="block_key")
+            .filter(F.col("a.record_id") != F.col("b.record_id"))
+            .select(
+                F.least("a.record_id", "b.record_id").alias("id1"),
+                F.greatest("a.record_id", "b.record_id").alias("id2"),
+            )
+            .dropDuplicates(["id1", "id2"])
+        )
+
+        combined_wide = self._read_union("records_wide", base_dirs).unionByName(new_wide)
+        with _no_aqe_coalesce(self.spark):
+            featured = features.staged_feature_matrix(
+                cand, combined_wide, dim=cfg.embedding_dim, names=ALL_FEATURE_NAMES
+            )
+        new_edges = sinks.write_stage(
+            classify.classify_pairs(
+                featured, self.model, cfg, year_match_col=F.col("year_match")
+            ).filter(F.col("is_match")),
+            out_dir, "classify", fingerprint=fp_m,
+        )
+
+        # delta CC over touched components only
+        cc_raw_old = sinks.read_stage(self.spark, base_dirs[-1], "cc_raw")
+        e = (
+            pairs.dedup_scored_pairs(new_edges, "id1", "id2", "confidence")
+            .filter(F.col("confidence") >= cfg.edge_threshold)
+            .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        )
+        touched = (
+            e.select(F.col("src").alias("record_id"))
+            .unionByName(e.select(F.col("dst").alias("record_id")))
+            .distinct()
+        )
+        touched_roots = (
+            cc_raw_old.join(touched, on="record_id", how="left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        affected = cc_raw_old.join(touched_roots, on="cluster_id", how="left_semi")
+        star = affected.select(
+            F.col("record_id").alias("src"), F.col("cluster_id").alias("dst")
+        )
+        delta = cluster.connected_components(e.unionByName(star))
+        merged = sinks.write_stage(
+            cc_raw_old.join(
+                affected.select("record_id"), on="record_id", how="left_anti"
+            ).unionByName(delta),
+            out_dir, "cc_raw", fingerprint=fp_m,
+        )
+        labels = sinks.write_stage(
+            cluster.filter_and_relabel(
+                merged, cfg.min_cluster_size, cfg.max_cluster_size
+            ),
+            out_dir, "cluster", fingerprint=fp_m,
+        )
+        sinks.record_metrics(labels, out_dir, "incremental", time.time() - t0)
+        self.results.append(
+            StageResult(f"inc={len(incs) + 1}", labels.count(), time.time() - t0)
+        )
         return labels
 
     def _score_labeled(self, labels: DataFrame, wide: DataFrame) -> DataFrame:

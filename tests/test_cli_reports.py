@@ -39,7 +39,7 @@ def test_cli_fresh_run_and_resume(cli_run):
     assert out["stage"] == "all" and out["rows"] > 0
     assert [s["name"] for s in out["stages"]] == [
         "extract", "preprocess", "unique_strings", "embed", "records_wide",
-        "block", "pairs", "score", "classify", "cluster",
+        "block", "pairs", "score", "classify", "cc_raw", "cluster",
     ]
     assert not any(s["skipped"] for s in out["stages"])
     # resume: identical invocation skips every stage
