@@ -761,6 +761,37 @@ def _q_prefilter_cascade(spark, sf_dir):
     )
 
 
+def _q_media_jpeg_stats(spark, sf_dir):
+    # REAL baseline-JPEG decode (T.81: Huffman -> dequant -> IDCT ->
+    # YCbCr->RGB, pure numpy, multimodal.decode_jpeg_pixels): encode
+    # solid even-gray RGB at alternating 4:4:4 / 4:2:0 sampling — the
+    # lossless subdomain of the lossy codec (only the Y DC coefficient
+    # is nonzero and it quantizes without rounding), so the oracle is
+    # the closed form w*h*3*v. The hash matches only if the whole
+    # entropy-decode -> dequant -> IDCT -> upsample -> color-convert
+    # chain is exact for every row.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        image_pixel_stats_udf,
+        solid_jpeg_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 9 + 8).cast("int")
+    h = (F.col("doc_id") % 7 + 6).cast("int")
+    v = ((F.col("doc_id") * 2) % 256).cast("int")
+    sub = (F.col("doc_id") % 2).cast("int")
+    media = d.select("doc_id", solid_jpeg_udf(w, h, v, sub).alias("payload"))
+    st = media.select("doc_id", image_pixel_stats_udf("payload").alias("s"))
+    return st.select(
+        "doc_id",
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        F.col("s.channels").alias("channels"),
+        F.col("s.pix_sum").alias("pix_sum"),
+        F.col("s.pix_sq_sum").alias("pix_sq_sum"),
+    )
+
+
 def _q_matches_per_entity(spark, sf_dir):
     # A7: match edges touching each entity (reference analysis.py
     # 'most connected entities')
@@ -915,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_stats": _q_media_gif_stats,
         "media_audio_stats": _q_media_audio_stats,
         "media_frame_sampling": _q_media_frame_sampling,
+        "media_jpeg_stats": _q_media_jpeg_stats,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
         "cluster_stats": _q_cluster_stats,
@@ -1488,6 +1520,17 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(sz, 0.5), 4) AS median_size,
                    round(stddev(sz), 4) AS std_size
             FROM (SELECT o_custkey, count(*) AS sz FROM orders GROUP BY o_custkey)
+        """,
+        "media_jpeg_stats": """
+            SELECT doc_id,
+                   CAST(doc_id % 9 + 8 AS INT) AS width,
+                   CAST(doc_id % 7 + 6 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   (doc_id % 9 + 8) * (doc_id % 7 + 6) * 3
+                       * ((doc_id * 2) % 256) AS pix_sum,
+                   (doc_id % 9 + 8) * (doc_id % 7 + 6) * 3
+                       * ((doc_id * 2) % 256) * ((doc_id * 2) % 256) AS pix_sq_sum
+            FROM documents
         """,
         "position_in_cluster": """
             SELECT o_custkey AS cluster_id, o_orderkey AS record_id,

@@ -59,6 +59,7 @@ HEADLINE = [
     "media_pixel_stats",
     "media_gif_stats",
     "media_audio_stats",
+    "media_jpeg_stats",
     "matches_per_entity",
     "feature_corr",
     "cluster_stats",

@@ -9,16 +9,19 @@ libraries):
   * REAL header metadata for PNG/GIF/JPEG (dims) and WAV/MP4
     (duration) — byte-level container parsing.
   * REAL pixel decode for non-interlaced 8-bit PNG (zlib is stdlib;
-    scanline unfiltering is numpy) and GIF (LZW is pure bit/dict
-    work; global/local palettes, interlace), and REAL sample decode
+    scanline unfiltering is numpy), GIF (LZW is pure bit/dict work;
+    global/local palettes, interlace), and baseline-sequential JPEG
+    (T.81: canonical Huffman -> dequant -> orthonormal IDCT -> chroma
+    upsample -> JFIF YCbCr->RGB, pure numpy), plus REAL sample decode
     for 16-bit PCM WAV — `decode_png_pixels` / `decode_gif_pixels` /
-    `decode_wav_samples` feed `image_pixel_stats_udf` /
-    `audio_sample_stats_udf` and the real `extract_features` path.
-  * STUBBED for codec-bound formats (JPEG pixels — DCT+Huffman, MP4
-    frames): `extract_features` raises NotImplementedError on them
-    unless `fake=True`, in which case a deterministic fake decoder
-    produces stable pseudo-features so downstream plumbing is
-    testable.
+    `decode_jpeg_pixels` / `decode_wav_samples` feed
+    `image_pixel_stats_udf` / `audio_sample_stats_udf` and the real
+    `extract_features` path.
+  * STUBBED for the remaining codec-bound formats (progressive JPEG,
+    MP4 frames — H.264): `extract_features` raises
+    NotImplementedError on them unless `fake=True`, in which case a
+    deterministic fake decoder produces stable pseudo-features so
+    downstream plumbing is testable.
 """
 
 from __future__ import annotations
@@ -272,6 +275,8 @@ def image_pixel_stats_udf(payload: pd.Series) -> pd.DataFrame:
         if px is None:
             px = decode_gif_pixels(b)
         if px is None:
+            px = decode_jpeg_pixels(b)
+        if px is None:
             rows.append((None, None, None, None, None))
         else:
             flat = px.astype(np.int64)
@@ -322,6 +327,23 @@ def gradient_gif_udf(width: pd.Series, height: pd.Series, seed: pd.Series) -> pd
     for w, h, s in zip(width, height, seed):
         idx = gradient_pixels(int(w), int(h), int(s), channels=1)[:, :, 0]
         out.append(encode_gif(idx, pal))
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.BinaryType())
+def solid_jpeg_udf(
+    width: pd.Series, height: pd.Series, value: pd.Series, sub420: pd.Series
+) -> pd.Series:
+    """Real baseline-JPEG payload per row: solid gray RGB at an EVEN
+    value, alternating 4:4:4 / 4:2:0. An even solid gray round-trips
+    through DCT quantization EXACTLY (the only nonzero coefficient is
+    the Y DC, 8*(v-128)/Q00 = (v-128)/2, an integer when v is even),
+    so decoded pixel sums have the closed form w*h*3*v — a lossy codec
+    with a lossless oracle-able subdomain."""
+    out = []
+    for w, h, v, s in zip(width, height, value, sub420):
+        px = np.full((int(h), int(w), 3), int(v) & 0xFE, dtype=np.uint8)
+        out.append(encode_jpeg(px, subsampling="420" if int(s) else "444"))
     return pd.Series(out, dtype=object)
 
 
@@ -583,6 +605,449 @@ def gif_frame_timeline(b: bytes | None) -> list[tuple[int, int]] | None:
         else:
             break
     return frames or None
+
+
+# -- JPEG: ITU-T T.81 baseline sequential DCT ---------------------------------
+# Pure numpy/stdlib twin pair: decode_jpeg_pixels (Huffman -> dequant
+# -> IDCT -> chroma upsample -> YCbCr->RGB) and encode_jpeg (the
+# fixture-side encoder). The Huffman/quantization tables below are the
+# published spec constants (T.81 Annex K).
+
+_JPEG_QTABLE = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32,
+).reshape(8, 8)
+
+_JPEG_BITS_DC = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_VALS_DC = list(range(12))
+_JPEG_BITS_AC = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_VALS_AC = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> np.ndarray:
+    """Row-major indices of the 8x8 block in zigzag scan order: even
+    anti-diagonals traverse up-right (column ascending), odd ones
+    down-left (row ascending) — T.81 Figure 5."""
+    order = sorted(
+        (r + c, (c if (r + c) % 2 == 0 else r), r * 8 + c)
+        for r in range(8)
+        for c in range(8)
+    )
+    return np.array([idx for _, _, idx in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A (A[k,x] = 0.5*c(k)*cos((2x+1)kπ/16));
+    forward S = A f A.T, inverse f = A.T S A."""
+    k = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    A = 0.5 * np.cos((2 * x + 1) * k * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    return A
+
+
+_DCT_A = _dct_matrix()
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: 0xFF00 de-stuffed; stops at any
+    other marker (the caller handles RST)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                return False  # a real marker: stop
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 receive/extend: s-bit magnitude to signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    p = np.empty((ph, pw), dtype=np.float64)
+    p[:h, :w] = plane
+    if ph > h:
+        p[h:, :w] = plane[-1:, :]
+    if pw > w:
+        p[:, w:] = p[:, w - 1 : w]
+    return p
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+    """Baseline JFIF encoder — the fixture-side twin of
+    decode_jpeg_pixels (the same pairing as encode_png/encode_gif).
+    Input (h, w, 1) grayscale or (h, w, 3) RGB uint8; emits SOF0 with
+    4:4:4 (default) or 4:2:0 sampling (``subsampling="420"``, chroma
+    2x2 box-downsampled), one quant table and one DC/AC Huffman table
+    pair (Annex K) shared by all components."""
+    h, w, ch = pixels.shape
+    if ch == 3:
+        f = pixels.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        comps = [pixels[..., 0].astype(np.float64)]
+    if ch == 3 and subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+        ev = _pad_edge(comps[1], (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+        comps[1] = ev.reshape(ev.shape[0] // 2, 2, ev.shape[1] // 2, 2).mean(axis=(1, 3))
+        ev = _pad_edge(comps[2], (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+        comps[2] = ev.reshape(ev.shape[0] // 2, 2, ev.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        factors = [(1, 1)] * len(comps)
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _pad_edge(c, mcuy * fv * 8, mcux * fh * 8)
+        for c, (fh, fv) in zip(comps, factors)
+    ]
+
+    dc_tab = _huff_encode_table(_JPEG_BITS_DC, _JPEG_VALS_DC)
+    ac_tab = _huff_encode_table(_JPEG_BITS_AC, _JPEG_VALS_AC)
+    q = _JPEG_QTABLE.astype(np.float64)
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+
+    def put_block(block: np.ndarray, ci: int) -> None:
+        coeff = _DCT_A @ (block - 128.0) @ _DCT_A.T
+        qz = np.round(coeff / q).astype(np.int64).reshape(-1)[_ZIGZAG]
+        diff = int(qz[0]) - pred[ci]
+        pred[ci] = int(qz[0])
+        s = _category(diff)
+        code, ln = dc_tab[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_tab[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_tab[0x00]  # EOB
+            bw.put(code, ln)
+
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (p, (fh, fv)) in enumerate(zip(padded, factors)):
+            for v in range(fv):
+                for hb in range(fh):
+                    y0 = (my * fv + v) * 8
+                    x0 = (mx * fh + hb) * 8
+                    put_block(p[y0 : y0 + 8, x0 : x0 + 8], ci)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    nc = len(comps)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in _JPEG_QTABLE.reshape(-1)[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])  # id, sampling, quant table 0
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_BITS_DC) + bytes(_JPEG_VALS_DC))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_BITS_AC) + bytes(_JPEG_VALS_AC))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_pixels(b: bytes | None) -> np.ndarray | None:
+    """REAL baseline-JPEG pixel decode, no codec library: marker walk
+    -> canonical Huffman entropy decode -> dequantize -> inverse
+    zigzag -> orthonormal IDCT -> nearest-neighbor chroma upsample ->
+    JFIF YCbCr->RGB. Supports SOF0 (baseline sequential), 8-bit, 1 or
+    3 components, any sampling factors up to 4 (4:4:4 / 4:2:2 / 4:2:0
+    covered), restart intervals (DRI/RSTn). Progressive (SOF2),
+    arithmetic coding, and 12-bit files return None — never a wrong
+    answer. Hot loops are per-bit Python on an Arrow-batched path,
+    same tier as the GIF LZW codec."""
+    try:
+        return _decode_jpeg(b)
+    except (IndexError, ValueError, EOFError):
+        return None  # malformed/truncated bytes: None, never a wrong answer
+
+
+def _decode_jpeg(b: bytes | None) -> np.ndarray | None:
+    if not b or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None  # (h, w, [(cid, hi, vi, tq)])
+    restart_interval = 0
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        ln = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables: out of scope
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                qtables[tq] = tab.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                values = list(seg[j + 17 : j + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, values)
+                j += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c]) for c in range(seg[0])]
+            return _jpeg_scan(
+                b, i + 2 + ln, frame, scan, qtables, huff, restart_interval
+            )
+        i += 2 + ln
+    return None
+
+
+def _jpeg_scan(b, pos, frame, scan, qtables, huff, restart_interval):
+    fh, fw, comps = frame
+    if len(scan) != len(comps) or not comps:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c[0]: c for c in comps}
+    planes = []
+    tables = []
+    for cid, tsel in scan:
+        _, hi, vi, tq = by_id[cid]
+        if (0, tsel >> 4) not in huff or (1, tsel & 0xF) not in huff or tq not in qtables:
+            return None
+        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64))
+        tables.append((huff[(0, tsel >> 4)], huff[(1, tsel & 0xF)],
+                       qtables[tq].astype(np.float64), hi, vi))
+    rdr = _BitReader(b, pos)
+    pred = [0] * len(scan)
+    A, At = _DCT_A, _DCT_A.T
+    try:
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                rdr.align()
+                if rdr.pos + 1 < len(b) and b[rdr.pos] == 0xFF and 0xD0 <= b[rdr.pos + 1] <= 0xD7:
+                    rdr.pos += 2
+                pred = [0] * len(scan)
+            my, mx = divmod(m, mcux)
+            for ci, (dct_t, act_t, q, hi, vi) in enumerate(tables):
+                for v in range(vi):
+                    for hblk in range(hi):
+                        s = rdr.huff(dct_t)
+                        diff = _extend(rdr.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz = np.zeros(64, dtype=np.float64)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.huff(act_t)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            zz[k] = _extend(rdr.bits(sz), sz)
+                            k += 1
+                        coeff = np.zeros(64, dtype=np.float64)
+                        coeff[_ZIGZAG] = zz * q.reshape(-1)[_ZIGZAG]
+                        block = At @ coeff.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hblk) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    except (EOFError, ValueError, IndexError):
+        return None
+    out_planes = []
+    for ci, (_, _, _, hi, vi) in enumerate(tables):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[..., None]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _parse_av_header(b: bytes | None) -> tuple[str | None, int | None]:
@@ -868,6 +1333,8 @@ def _real_feature(payload: bytes | None) -> list[float]:
     px = decode_png_pixels(payload)
     if px is None:
         px = decode_gif_pixels(payload)
+    if px is None:
+        px = decode_jpeg_pixels(payload)
     if px is not None:
         flat = px.astype(np.float64)
         return [
@@ -901,8 +1368,9 @@ def _real_feature(payload: bytes | None) -> list[float]:
         mime, _ = _parse_av_header(payload)
     raise NotImplementedError(
         f"real decode of {mime or 'unknown-format'} payloads requires codec "
-        "libraries not present in this container; PNG/GIF pixels and 16-bit "
-        "PCM WAV decode natively — pass fake=True for the deterministic stand-in"
+        "libraries not present in this container; PNG/GIF/baseline-JPEG "
+        "pixels and 16-bit PCM WAV decode natively — pass fake=True for "
+        "the deterministic stand-in"
     )
 
 
@@ -915,7 +1383,8 @@ def extract_features(
     """mapInPandas feature extraction over binary payloads. The real
     path (`fake=False`) decodes what stdlib-only code genuinely can —
     PNG pixels and PCM WAV samples (see _real_feature) — and raises on
-    codec-bound formats (JPEG/GIF pixels, MP4 frames). `fake=True`
+    the remaining codec-bound formats (progressive JPEG, MP4/H.264
+    frames). `fake=True`
     keeps the deterministic md5-seeded stand-in for plumbing tests at
     any format."""
     out_schema = ", ".join(f.name + " " + f.dataType.simpleString() for f in media.schema.fields)

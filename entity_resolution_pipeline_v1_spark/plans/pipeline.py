@@ -340,12 +340,6 @@ class ERPipeline:
         densely-relabeled labels over the combined corpus."""
         cfg = self.cfg
         work = cfg.checkpoint_dir
-        for st in ("preprocess", "records_wide", "cc_raw"):
-            if not sinks.stage_complete(work, st):
-                raise ValueError(
-                    f"incremental() needs a completed base run in {work}: "
-                    f"stage '{st}' has no checkpoint"
-                )
         incs = self._inc_dirs()
         base_dirs = [work, *incs]
         if self.model is None:
@@ -353,13 +347,35 @@ class ERPipeline:
             self.model = (
                 classify.Model.load(mp) if os.path.exists(mp) else classify.Model.golden()
             )
-        out_dir = os.path.join(work, f"inc={len(incs) + 1}")
         fp = self._fingerprint()
         fp_m = self._fingerprint(self._model_fp())
+        # fingerprinted completeness: attaching under a DIFFERENT config
+        # or model than the base run would silently mix semantics — the
+        # same stale-checkpoint rule the batch resume path enforces
+        for d, st, want in ((work, "preprocess", fp), (work, "records_wide", fp),
+                            (base_dirs[-1], "cc_raw", fp_m)):
+            if not sinks.stage_complete(d, st, want):
+                raise ValueError(
+                    f"incremental() needs a completed base run in {work}: stage "
+                    f"'{st}' has no checkpoint (or was written under a different "
+                    "config/model)"
+                )
+        out_dir = os.path.join(work, f"inc={len(incs) + 1}")
         t0 = time.time()
 
+        # anti-join out records already ingested (same record_id): a
+        # replayed micro-batch (streaming foreachBatch crash recovery)
+        # or an overlapping upstream export must be idempotent — a
+        # fully-replayed batch yields 0 new records and leaves the
+        # clustering untouched
         new_records = sinks.write_stage(
-            preprocess.parse_records(extract.extract_text(new_pages, mode="main")),
+            preprocess.parse_records(
+                extract.extract_text(new_pages, mode="main")
+            ).join(
+                self._read_union("preprocess", base_dirs).select("record_id"),
+                on="record_id",
+                how="left_anti",
+            ),
             out_dir, "preprocess", fingerprint=fp,
         )
         uniq = preprocess.unique_strings(

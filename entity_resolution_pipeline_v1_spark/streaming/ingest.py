@@ -45,6 +45,28 @@ def page_rate_stats(pages_stream: DataFrame, window: str = "1 minute") -> DataFr
     )
 
 
+def incremental_attach_writer(pages_stream: DataFrame, pipe) -> "DataStreamWriter":
+    """Stream pages INTO the batch-maintained clustering: each
+    micro-batch runs ERPipeline.incremental (delta-proportional
+    scoring + touched-component CC merge, plans/pipeline.py), the
+    standard Spark pattern for maintaining a batch index from a stream
+    (foreachBatch). Returns the un-started writer so the caller picks
+    trigger/checkpointLocation; empty micro-batches are skipped.
+
+    The per-batch work is a batch job, so exactly-once hinges on
+    incremental()'s record-id anti-join: a replayed micro-batch after
+    a crash re-parses but then drops every already-ingested record,
+    yielding an empty increment — labels are untouched and nothing is
+    double-counted."""
+
+    def _attach(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe.incremental(batch_df)
+
+    return pages_stream.writeStream.outputMode("append").foreachBatch(_attach)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming query to completion against a memory sink
     (smoke-test harness)."""

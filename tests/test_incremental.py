@@ -114,6 +114,61 @@ def test_untouched_clusters_are_carried_over(spark, split_corpus, tmp_path_facto
             assert after == c
 
 
+def test_streaming_attach_and_replay_idempotent(spark, split_corpus, tmp_path_factory):
+    """foreachBatch-driven attach: streaming the same two batches must
+    produce the same partition as calling incremental() twice, and
+    replaying an already-ingested file must leave the clustering
+    untouched (the record-id anti-join)."""
+    from entity_resolution_pipeline_v1_spark.streaming import ingest
+
+    corpus, old, new = split_corpus
+    b1 = new.filter(F.pmod(F.xxhash64("record_id"), F.lit(2)) == 0).cache()
+    b2 = new.filter(F.pmod(F.xxhash64("record_id"), F.lit(2)) != 0).cache()
+
+    # batch-incremental reference
+    batch_work = str(tmp_path_factory.mktemp("batch_ref"))
+    ref = ERPipeline(spark, _cfg(batch_work))
+    ref.run(P.pages_view(old))
+    ref.incremental(P.pages_view(b1))
+    ref_part = _partition(ref.incremental(P.pages_view(b2)))
+
+    # streaming attach over the same two files
+    stream_work = str(tmp_path_factory.mktemp("stream_base"))
+    pipe = ERPipeline(spark, _cfg(stream_work))
+    pipe.run(P.pages_view(old))
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    P.pages_view(b1).coalesce(1).write.mode("append").parquet(src)
+    P.pages_view(b2).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            ingest.incremental_attach_writer(
+                ingest.read_pages_stream(spark, src, max_files=1), pipe
+            )
+            .option("checkpointLocation", f"{src}_ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    n_incs = len(pipe._inc_dirs())
+    assert n_incs >= 2
+    from entity_resolution_pipeline_v1_spark.sources import sinks
+
+    labels = sinks.read_stage(spark, pipe._inc_dirs()[-1], "cluster")
+    assert _partition(labels) == ref_part
+
+    # replay: re-append b1's rows as a NEW file -> one more micro-batch
+    # whose records are all already ingested -> empty increment, same
+    # partition
+    P.pages_view(b1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    labels2 = sinks.read_stage(spark, pipe._inc_dirs()[-1], "cluster")
+    assert len(pipe._inc_dirs()) == n_incs + 1
+    assert _partition(labels2) == ref_part
+
+
 def test_incremental_requires_completed_base(spark, tmp_path):
     pipe = ERPipeline(spark, _cfg(str(tmp_path / "nowork")))
     with pytest.raises(ValueError, match="completed base run"):

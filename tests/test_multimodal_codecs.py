@@ -242,3 +242,122 @@ def test_wav_roundtrip_hypothesis(n, seed):
     assert dec is not None
     rate, back = dec
     assert rate == 8000 and len(back) == n and (back == s).all()
+
+
+# -- JPEG (T.81 baseline) ------------------------------------------------------
+
+from entity_resolution_pipeline_v1_spark.operators.multimodal import (  # noqa: E402
+    _DCT_A,
+    _JPEG_QTABLE,
+    _ZIGZAG,
+    decode_jpeg_pixels,
+    encode_jpeg,
+)
+
+
+def test_jpeg_dct_matrix_is_orthonormal():
+    assert np.allclose(_DCT_A @ _DCT_A.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_zigzag_is_the_spec_order():
+    # first 10 and last 4 indices of T.81 Figure 5 (public constants)
+    assert list(_ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(_ZIGZAG) == list(range(64))
+
+
+@pytest.mark.parametrize("v", [0, 2, 64, 128, 200, 254])
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jpeg_solid_even_gray_roundtrips_exactly(v, sub):
+    """Even solid gray is the lossless subdomain: only the Y DC
+    coefficient is nonzero and (v-128)/2 is an integer, so quantization
+    rounds nothing — decode must return v at every pixel."""
+    px = np.full((13, 21, 3), v, dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(px, subsampling=sub))
+    assert out is not None and out.shape == (13, 21, 3)
+    assert (out == v).all()
+
+
+def test_jpeg_solid_odd_gray_matches_independent_quantization_math():
+    """Odd v: the DC quantizes with a real rounding step. The expected
+    value is computed INDEPENDENTLY from the closed form
+    round(round((v-128)/2) * 2 + 128) — np.round (half-to-even) on
+    both sides of the codec."""
+    for v in (63, 129, 201):
+        px = np.full((8, 8, 3), v, dtype=np.uint8)
+        out = decode_jpeg_pixels(encode_jpeg(px))
+        q00 = int(_JPEG_QTABLE[0, 0])  # 16
+        expected = int(
+            np.clip(np.round(np.round(8 * (v - 128.0) / q00) * q00 / 8.0 + 128.0), 0, 255)
+        )
+        assert (out == expected).all(), (v, expected, np.unique(out))
+
+
+def _smooth(h, w, c):
+    """Low-frequency ramp (no mod-256 wrap discontinuities — those are
+    legitimately hard content for a DCT codec, not a codec bug)."""
+    y = np.linspace(0, 180, h)[:, None]
+    x = np.linspace(0, 50, w)[None, :]
+    base = y + x  # max 230; +10*i stays under 256 for c<=3: no wraps
+    return np.stack([base + 10 * i for i in range(c)], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 1), (16, 24, 3), (23, 37, 3), (9, 9, 1)])
+def test_jpeg_smooth_gradient_psnr(shape):
+    h, w, c = shape
+    px = _smooth(h, w, c)
+    out = decode_jpeg_pixels(encode_jpeg(px))
+    assert out.shape == px.shape
+    mse = ((out.astype(float) - px.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+
+
+def test_jpeg_420_is_a_real_subsampled_encoding():
+    px = gradient_pixels(32, 32, seed=5)
+    e444, e420 = encode_jpeg(px), encode_jpeg(px, subsampling="420")
+    i = e420.find(b"\xff\xc0")
+    assert e420[i + 4 + 7] == 0x22  # Y sampling factor 2x2 in SOF
+    assert len(e420) < len(e444)
+    out = decode_jpeg_pixels(e420)
+    assert out.shape == px.shape
+    mse = ((out.astype(float) - px.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 24
+
+
+def test_jpeg_header_parse_agrees_with_decode():
+    enc = encode_jpeg(gradient_pixels(37, 23, seed=1))
+    assert _parse_image_header(enc) == ("image/jpeg", 37, 23)
+
+
+def test_jpeg_rejects_unsupported_never_wrong():
+    enc = bytearray(encode_jpeg(gradient_pixels(16, 16, seed=2)))
+    i = enc.find(b"\xff\xc0")
+    prog = bytes(enc[:i+1]) + b"\xc2" + bytes(enc[i+2:])  # SOF2 progressive
+    assert decode_jpeg_pixels(prog) is None
+    assert decode_jpeg_pixels(None) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_pixels(b"GIF89a") is None
+    truncated = bytes(enc[: len(enc) // 2])
+    assert decode_jpeg_pixels(truncated) is None or isinstance(
+        decode_jpeg_pixels(truncated), np.ndarray
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    off=st.integers(0, 25),
+    sub=st.sampled_from(["444", "420"]),
+)
+def test_jpeg_roundtrip_hypothesis(w, h, off, sub):
+    """Smooth content at arbitrary shapes (incl. 1-pixel edges and the
+    MCU padding paths) must decode at the right shape with low error.
+    gradient_pixels' mod-256 sawtooth is deliberately NOT used here:
+    a 255->0 wrap box-averaged by 4:2:0 chroma subsampling is
+    destructive for ANY conformant codec."""
+    px = np.clip(_smooth(h, w, 3).astype(int) + off, 0, 255).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(px, subsampling=sub))
+    assert out is not None and out.shape == px.shape
+    mse = ((out.astype(float) - px.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 24
