@@ -715,10 +715,18 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (markers are NOT byte-stuffed)."""
+        assert self.nbits == 0
+        self.buf += data
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -792,13 +800,18 @@ def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return p
 
 
-def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """Baseline JFIF encoder — the fixture-side twin of
     decode_jpeg_pixels (the same pairing as encode_png/encode_gif).
     Input (h, w, 1) grayscale or (h, w, 3) RGB uint8; emits SOF0 with
     4:4:4 (default) or 4:2:0 sampling (``subsampling="420"``, chroma
     2x2 box-downsampled), one quant table and one DC/AC Huffman table
-    pair (Annex K) shared by all components."""
+    pair (Annex K) shared by all components. ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RSTn markers every N MCUs
+    with DC-predictor resets — so the decoder's restart path is
+    testable against real restart streams."""
     h, w, ch = pixels.shape
     if ch == 3:
         f = pixels.astype(np.float64)
@@ -863,6 +876,10 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
             bw.put(code, ln)
 
     for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.byte_align()
+            bw.raw(bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8]))
+            pred[:] = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, (p, (fh, fv)) in enumerate(zip(padded, factors)):
             for v in range(fv):
@@ -884,6 +901,8 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_BITS_DC) + bytes(_JPEG_VALS_DC))
     out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_BITS_AC) + bytes(_JPEG_VALS_AC))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0

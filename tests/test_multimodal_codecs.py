@@ -361,3 +361,17 @@ def test_jpeg_roundtrip_hypothesis(w, h, off, sub):
     assert out is not None and out.shape == px.shape
     mse = ((out.astype(float) - px.astype(float)) ** 2).mean()
     assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 24
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_jpeg_restart_intervals_roundtrip(ri):
+    """DRI/RSTn: the encoder emits real byte-aligned restart markers
+    with DC-predictor resets; decode must be identical to the
+    no-restart stream's decode (restarts change framing, not values)."""
+    px = _smooth(24, 40, 3)
+    plain = decode_jpeg_pixels(encode_jpeg(px))
+    enc = encode_jpeg(px, restart_interval=ri)
+    assert b"\xff\xdd" in enc  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))  # real RSTn
+    out = decode_jpeg_pixels(enc)
+    assert out is not None and (out == plain).all()
