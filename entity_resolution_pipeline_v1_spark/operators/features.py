@@ -17,6 +17,7 @@ from ..config import EMBED_FIELDS, FEATURE_NAMES
 from ..functions import similarity as S
 from ..functions import text as TX
 from ..functions import years as Y
+from .util import ensure_parallelism
 
 # North-rule extras beyond the reference's 14 (SURVEY.md §2.8 F11):
 # Jaro-Winkler + token-set Jaccard on names, title Jaccard, and the
@@ -414,6 +415,11 @@ def staged_feature_matrix(
     # phase 1: string features over a names-only hydrate. In dict mode
     # the per-field hash keys ride along (10 longs/row — they are join
     # keys, not UDF inputs, so they never transit Arrow).
+    # If the wide sides broadcast (they often do — the distinct-record
+    # table is orders of magnitude smaller than the pair table), ALL
+    # per-pair compute runs in cand's own partitions, so a cand that
+    # arrives as one checkpoint file would score serially.
+    cand = ensure_parallelism(cand)
     carry = hash_cols if strategy == "dict" else []
     sl = wide.select(
         F.col("record_id").alias("id1"),

@@ -17,7 +17,17 @@ from pyspark.sql import functions as F
 
 
 def candidate_pairs(blocks: DataFrame) -> DataFrame:
-    """(id1, id2) with id1 < id2, distinct across all block collisions."""
+    """(id1, id2) with id1 < id2, distinct across all block collisions.
+
+    Singleton keys are dropped HERE (semi-join on count >= 2) rather
+    than in cap_blocks: they cannot produce a pair, so removing them
+    before the self-join only trims shuffle volume — and doing it at
+    join time lets the checkpointed block table keep singletons for
+    the incremental attach, where a new record can make them pairable."""
+    pairable = (
+        blocks.groupBy("block_key").count().filter(F.col("count") >= 2).select("block_key")
+    )
+    blocks = blocks.join(pairable, on="block_key", how="left_semi")
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.similarity import norm_expr, pair_cosine_expr
+from .util import ensure_parallelism
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -42,19 +43,7 @@ def _fused_dim(dim: int | None) -> int | None:
     return dim if dim is not None and dim <= FUSED_COSINE_MAX_DIM else None
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a corpus frame whose scan parallelism
-    is below the cluster's cores. The per-pair cosine work of a
-    (broadcast) ANN join runs in the STREAM side's partitions: a
-    small-fixture corpus arriving as one parquet file would compute
-    every pair in ONE task (measured: the whole 360k-pair ivf stage
-    on a single core, ~9s, while 31 cores idled). At real scale the
-    corpus has >= cores partitions and this is a no-op — the guard
-    never shuffles data that is already spread."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+_ensure_parallelism = ensure_parallelism  # moved to util.py (shared with features)
 
 
 def brute_force_topk(

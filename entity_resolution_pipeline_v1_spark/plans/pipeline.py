@@ -72,7 +72,11 @@ class ERPipeline:
         semantics."""
         exec_only = {"checkpoint_dir", "generate_reports"}
         cfg = {k: v for k, v in asdict(self.cfg).items() if k not in exec_only}
-        blob = json.dumps(cfg, sort_keys=True, default=str) + "|" + extra
+        # stageset version: bumped when the MEANING of a checkpointed
+        # stage changes (v2: the block stage keeps singleton keys so the
+        # incremental attach can reuse it) — old checkpoints must be
+        # invalidated, not silently reused under the new semantics
+        blob = json.dumps(cfg, sort_keys=True, default=str) + "|stageset=2|" + extra
         return hashlib.md5(blob.encode("utf-8")).hexdigest()
 
     def _model_fp(self) -> str:
@@ -144,22 +148,31 @@ class ERPipeline:
         )
         if until == "records_wide":
             return wide
+        # the block checkpoint is PRE-cap: singleton and hot-key
+        # filtering are join-time properties of whichever corpus the
+        # keys are used against (the incremental attach reuses this
+        # table against a LARGER corpus where a singleton may pair and
+        # combined counts decide the cap), so the persisted table keeps
+        # every key and the pairs stage applies cap_blocks over it
         blocks = self._stage(
             "block",
-            lambda: blocking.cap_blocks(
-                blocking.build_blocks(
-                    records,
-                    num_hashes=cfg.minhash_num_hashes,
-                    bands=cfg.minhash_bands,
-                    sn_window=cfg.sorted_neighborhood_window,
-                ),
-                cfg.max_block_size,
+            lambda: blocking.build_blocks(
+                records,
+                num_hashes=cfg.minhash_num_hashes,
+                bands=cfg.minhash_bands,
+                sn_window=cfg.sorted_neighborhood_window,
             ),
             resume,
         )
         if until == "block":
             return blocks
-        cand = self._stage("pairs", lambda: pairs.candidate_pairs(blocks), resume)
+        cand = self._stage(
+            "pairs",
+            lambda: pairs.candidate_pairs(
+                blocking.cap_blocks(blocks, cfg.max_block_size, drop_singletons=False)
+            ),
+            resume,
+        )
         if until == "pairs":
             return cand
         # staged scoring: string features (incl. the Arrow JW) over
@@ -311,10 +324,12 @@ class ERPipeline:
         - new records are extracted/embedded alone (the embedder is
           deterministic per string, so batch boundaries cannot change a
           vector);
-        - blocking keys ARE recomputed over the combined corpus — one
-          cheap key pass over all records, required so rank-based
-          sorted-neighborhood keys see the combined sort and equi-key
-          families assign exactly the keys a full rerun would;
+        - blocking keys are DELTA-computed for the per-record families
+          (exact/token-sort/initials/minhash are pure functions of one
+          record — the base run's and prior increments' checkpointed
+          keys are reused verbatim); only the rank-based sorted-
+          neighborhood family re-sorts the combined corpus, a JVM-side
+          sort with no sketching;
         - candidate pairs are restricted to those touching a new record
           (semi-join the new ids against the block table, then one
           new-side×all equi-join) — the expensive score/classify stage
@@ -363,12 +378,19 @@ class ERPipeline:
         out_dir = os.path.join(work, f"inc={len(incs) + 1}")
         t0 = time.time()
 
+        def _w(name: str, df: DataFrame, fpv: str) -> DataFrame:
+            ts = time.time()
+            out = sinks.write_stage(df, out_dir, name, fingerprint=fpv)
+            self.results.append(StageResult(f"inc:{name}", out.count(), time.time() - ts))
+            return out
+
         # anti-join out records already ingested (same record_id): a
         # replayed micro-batch (streaming foreachBatch crash recovery)
         # or an overlapping upstream export must be idempotent — a
         # fully-replayed batch yields 0 new records and leaves the
         # clustering untouched
-        new_records = sinks.write_stage(
+        new_records = _w(
+            "preprocess",
             preprocess.parse_records(
                 extract.extract_text(new_pages, mode="main")
             ).join(
@@ -376,33 +398,69 @@ class ERPipeline:
                 on="record_id",
                 how="left_anti",
             ),
-            out_dir, "preprocess", fingerprint=fp,
+            fp,
         )
         uniq = preprocess.unique_strings(
             preprocess.long_form(new_records), cfg.min_string_frequency
         )
-        new_wide = sinks.write_stage(
+        new_wide = _w(
+            "records_wide",
             preprocess.records_wide(
                 new_records, preprocess.embed_unique(uniq, cfg.embedding_dim)
             ),
-            out_dir, "records_wide", fingerprint=fp,
+            fp,
         )
 
         combined_records = self._read_union("preprocess", base_dirs).unionByName(
             new_records
         )
-        blocks = blocking.cap_blocks(
+        # blocking keys: the exact/token-sort/initials/minhash families
+        # are pure per-record functions, so they are DELTA-computed (one
+        # Arrow sketching pass over the new batch only) and unioned with
+        # the base run's + prior increments' checkpointed keys. Only the
+        # rank-based sorted-neighborhood family depends on the combined
+        # corpus — one JVM-side sort pass, no sketching. At web scale
+        # this is the difference between re-sketching 10^12 records per
+        # attach and sketching only the delta. Reuse is exact because
+        # the block checkpoint is PRE-cap: singleton and hot-key
+        # filtering happen below, over COMBINED counts — the same keys
+        # a full rerun over the combined corpus would keep.
+        new_local = _w(
+            "block_local",
             blocking.build_blocks(
-                combined_records,
+                new_records,
                 num_hashes=cfg.minhash_num_hashes,
                 bands=cfg.minhash_bands,
-                sn_window=cfg.sorted_neighborhood_window,
+                use_sorted_neighborhood=False,
             ),
+            fp,
+        )
+        local = sinks.read_stage(self.spark, work, "block").filter(
+            ~F.col("block_key").startswith("s:")
+        )
+        for d in incs:
+            local = local.unionByName(sinks.read_stage(self.spark, d, "block_local"))
+        sn = _w(
+            "block_sn",
+            blocking.sorted_neighborhood_blocks(
+                combined_records, window=cfg.sorted_neighborhood_window
+            ),
+            fp,
+        )
+        blocks = blocking.cap_blocks(
+            local.unionByName(new_local).unionByName(sn),
             cfg.max_block_size,
+            drop_singletons=True,  # combined counts: only unpairable keys drop
         )
         new_ids = new_records.select("record_id")
         new_side = blocks.join(new_ids, on="record_id", how="left_semi")
-        cand = (
+        # checkpoint the candidate pairs exactly like run()'s pairs
+        # stage: the blocks subtree (Arrow key UDFs + the SN global-rank
+        # offsets collect) appears TWICE in this self-join and would
+        # otherwise recompute inside every downstream scoring join —
+        # measured 88s -> ~5s for the attach's classify step at 20k+1k
+        cand = _w(
+            "pairs",
             new_side.alias("a")
             .join(blocks.alias("b"), on="block_key")
             .filter(F.col("a.record_id") != F.col("b.record_id"))
@@ -410,20 +468,37 @@ class ERPipeline:
                 F.least("a.record_id", "b.record_id").alias("id1"),
                 F.greatest("a.record_id", "b.record_id").alias("id2"),
             )
-            .dropDuplicates(["id1", "id2"])
+            .dropDuplicates(["id1", "id2"]),
+            fp,
         )
 
         combined_wide = self._read_union("records_wide", base_dirs).unionByName(new_wide)
+        # the conf suspension is a RUNTIME setting: the scoring job must
+        # EXECUTE inside it, not merely be planned inside it (a 62k-pair
+        # delta frame is a few MB, which byte-based AQE coalescing
+        # otherwise collapses onto one task)
         with _no_aqe_coalesce(self.spark):
-            featured = features.staged_feature_matrix(
-                cand, combined_wide, dim=cfg.embedding_dim, names=ALL_FEATURE_NAMES
+            # the score stage is CHECKPOINTED before classify, exactly
+            # like run(): classify's confidence expression duplicates
+            # the feature tree inside its when() branches, and
+            # CollapseProject stacking it over the 5 fused dim-term
+            # dot products blows the 64KB codegen method limit into
+            # interpreted mode (measured: 62k pairs scored+classified
+            # in 76s fused vs 5.5s+0.6s split at these checkpoints)
+            featured = _w(
+                "score",
+                features.staged_feature_matrix(
+                    cand, combined_wide, dim=cfg.embedding_dim, names=ALL_FEATURE_NAMES
+                ),
+                fp,
             )
-        new_edges = sinks.write_stage(
-            classify.classify_pairs(
-                featured, self.model, cfg, year_match_col=F.col("year_match")
-            ).filter(F.col("is_match")),
-            out_dir, "classify", fingerprint=fp_m,
-        )
+            new_edges = _w(
+                "classify",
+                classify.classify_pairs(
+                    featured, self.model, cfg, year_match_col=F.col("year_match")
+                ).filter(F.col("is_match")),
+                fp_m,
+            )
 
         # delta CC over touched components only
         cc_raw_old = sinks.read_stage(self.spark, base_dirs[-1], "cc_raw")
@@ -446,18 +521,25 @@ class ERPipeline:
         star = affected.select(
             F.col("record_id").alias("src"), F.col("cluster_id").alias("dst")
         )
+        # the CC fixpoint runs EAGERLY here (per-round localCheckpoint +
+        # fingerprint actions), so it gets its own timing row — at small
+        # delta sizes its ~2-round fixed job cost dominates the attach
+        ts_cc = time.time()
         delta = cluster.connected_components(e.unionByName(star))
-        merged = sinks.write_stage(
+        self.results.append(StageResult("inc:delta_cc", delta.count(), time.time() - ts_cc))
+        merged = _w(
+            "cc_raw",
             cc_raw_old.join(
                 affected.select("record_id"), on="record_id", how="left_anti"
             ).unionByName(delta),
-            out_dir, "cc_raw", fingerprint=fp_m,
+            fp_m,
         )
-        labels = sinks.write_stage(
+        labels = _w(
+            "cluster",
             cluster.filter_and_relabel(
                 merged, cfg.min_cluster_size, cfg.max_cluster_size
             ),
-            out_dir, "cluster", fingerprint=fp_m,
+            fp_m,
         )
         sinks.record_metrics(labels, out_dir, "incremental", time.time() - t0)
         self.results.append(

@@ -173,3 +173,34 @@ def test_incremental_requires_completed_base(spark, tmp_path):
     pipe = ERPipeline(spark, _cfg(str(tmp_path / "nowork")))
     with pytest.raises(ValueError, match="completed base run"):
         pipe.incremental(spark.range(0).selectExpr("'u' AS url"))
+
+
+def test_delta_blocking_keys_match_full_recompute(spark, split_corpus, tmp_path_factory):
+    """The attach reuses the base run's checkpointed per-record key
+    families and delta-computes only the new batch's — the assembled
+    (record_id, block_key) set must equal build_blocks over the
+    combined corpus (pre-cap), including base singletons that become
+    pairable only via a new record."""
+    corpus, old, new = split_corpus
+    work = str(tmp_path_factory.mktemp("dblk"))
+    pipe = ERPipeline(spark, _cfg(work))
+    pipe.run(P.pages_view(old))
+    pipe.incremental(P.pages_view(new))
+
+    from entity_resolution_pipeline_v1_spark.operators import blocking, extract, preprocess
+    from entity_resolution_pipeline_v1_spark.sources import sinks
+
+    local = sinks.read_stage(spark, work, "block").filter(
+        ~F.col("block_key").startswith("s:")
+    ).unionByName(sinks.read_stage(spark, f"{work}/inc=1", "block_local"))
+    sn = sinks.read_stage(spark, f"{work}/inc=1", "block_sn")
+    assembled = {(r["record_id"], r["block_key"]) for r in local.unionByName(sn).collect()}
+
+    combined = preprocess.parse_records(
+        extract.extract_text(P.pages_view(corpus), mode="main")
+    )
+    expected = {
+        (r["record_id"], r["block_key"])
+        for r in blocking.build_blocks(combined).collect()
+    }
+    assert assembled == expected
