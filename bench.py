@@ -246,8 +246,13 @@ def er_throughput(spark, n_records: int) -> tuple[int, float, dict, dict]:
         uniq = preprocess.unique_strings(preprocess.long_form(records))
         emb = preprocess.embed_unique(uniq, cfg.embedding_dim)
         wide = ckpt(preprocess.records_wide(records, emb), "wide")
+        # singleton keys stay in the checkpoint — candidate_pairs drops
+        # them at join time (doing it here too would just add a pass)
         blocks = ckpt(
-            blocking.cap_blocks(blocking.build_blocks(records), cfg.max_block_size), "blocks"
+            blocking.cap_blocks(
+                blocking.build_blocks(records), cfg.max_block_size, drop_singletons=False
+            ),
+            "blocks",
         )
         # spread the Python-touching scoring stage across all cores: AQE
         # coalesces the (byte-small) pair shuffle to a handful of
@@ -304,7 +309,9 @@ def build_score_fixture(fixture_dir: str, n_records: int) -> None:
     uniq = preprocess.unique_strings(preprocess.long_form(records))
     emb = preprocess.embed_unique(uniq, cfg.embedding_dim)
     preprocess.records_wide(records, emb).write.mode("overwrite").parquet(f"{fixture_dir}/wide")
-    blocks = blocking.cap_blocks(blocking.build_blocks(records), cfg.max_block_size)
+    blocks = blocking.cap_blocks(
+        blocking.build_blocks(records), cfg.max_block_size, drop_singletons=False
+    )
     # fixed partition count so every scaling point reads identical splits
     pairs.candidate_pairs(blocks).repartition(128).write.mode("overwrite").parquet(
         f"{fixture_dir}/cand"
