@@ -101,7 +101,7 @@ class ERPipeline:
         out = sinks.write_stage(df, work, name, partition_by, fingerprint=fp)
         wall = time.time() - t0
         sinks.record_metrics(out, work, name, wall)
-        self.results.append(StageResult(name, out.count(), wall))
+        self.results.append(StageResult(name, sinks.manifest_rows(work, name), wall))
         return out
 
     # -- full run ----------------------------------------------------------
@@ -381,7 +381,9 @@ class ERPipeline:
         def _w(name: str, df: DataFrame, fpv: str) -> DataFrame:
             ts = time.time()
             out = sinks.write_stage(df, out_dir, name, fingerprint=fpv)
-            self.results.append(StageResult(f"inc:{name}", out.count(), time.time() - ts))
+            self.results.append(
+                StageResult(f"inc:{name}", sinks.manifest_rows(out_dir, name), time.time() - ts)
+            )
             return out
 
         # anti-join out records already ingested (same record_id): a

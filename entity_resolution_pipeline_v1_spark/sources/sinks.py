@@ -88,24 +88,34 @@ def read_stage(spark: SparkSession, work_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(stage_path(work_dir, stage))
 
 
+def manifest_rows(work_dir: str, stage: str) -> int:
+    """Row count recorded in the stage manifest — write_stage already
+    paid that count job, so stage bookkeeping reads it back instead of
+    launching a second count over the same parquet."""
+    try:
+        with open(manifest_path(work_dir, stage)) as fh:
+            return int(json.load(fh).get("rows", -1))
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return -1
+
+
 def record_metrics(df: DataFrame, work_dir: str, stage: str, wall_sec: float | None = None) -> None:
     """Append per-partition lineage rows (stage, partition, rows) plus a
-    stage summary row to the metrics table."""
+    stage summary row to the metrics table. ONE job: the per-partition
+    counts collect to the driver (bounded by the partition count, never
+    the row count) and feed both the lineage rows and the summary sum —
+    the previous two-pass form re-ran the groupBy for the summary."""
     spark = df.sparkSession
-    per_part = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .count()
-        .withColumn("stage", F.lit(stage))
-        .withColumn("kind", F.lit("partition_rows"))
-        .withColumn("wall_sec", F.lit(wall_sec).cast("double"))
-        .select("stage", "kind", "partition_id", F.col("count").alias("rows"), "wall_sec")
-    )
-    summary = spark.createDataFrame(
-        [(stage, "stage_rows", -1, per_part.agg(F.sum("rows")).collect()[0][0] or 0, wall_sec)],
-        "stage string, kind string, partition_id int, rows bigint, wall_sec double",
-    )
+    per_part = df.groupBy(F.spark_partition_id().alias("partition_id")).count().collect()
+    rows = [
+        (stage, "partition_rows", int(r["partition_id"]), int(r["count"]), wall_sec)
+        for r in per_part
+    ]
+    rows.append((stage, "stage_rows", -1, sum(r["count"] for r in per_part), wall_sec))
     metrics_dir = os.path.join(work_dir, "metrics")
-    per_part.unionByName(summary).write.mode("append").parquet(metrics_dir)
+    spark.createDataFrame(
+        rows, "stage string, kind string, partition_id int, rows bigint, wall_sec double"
+    ).write.mode("append").parquet(metrics_dir)
 
 
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
