@@ -204,3 +204,30 @@ def test_delta_blocking_keys_match_full_recompute(spark, split_corpus, tmp_path_
         for r in blocking.build_blocks(combined).collect()
     }
     assert assembled == expected
+
+
+def test_attach_with_no_matches_leaves_partition_unchanged(spark, split_corpus, tmp_path_factory):
+    """A delta whose records match NOTHING (empty new-edge set) must
+    flow through delta-CC cleanly and leave the cluster partition
+    exactly as the base run produced it."""
+    _, old, _ = split_corpus
+    work = str(tmp_path_factory.mktemp("nomatch"))
+    pipe = ERPipeline(spark, _cfg(work))
+    base = _partition(pipe.run(P.pages_view(old)))
+
+    # gibberish records: unique names, no shared years/titles — no pair
+    # can clear the match threshold
+    rows = [
+        (f"https://nowhere.example/rec/zz{i:04d}",
+         f"<html><body><h1>Qxv{i:04d} Zzyzx</h1><p>untitled {i}</p></body></html>")
+        for i in range(12)
+    ]
+    noise = spark.createDataFrame(rows, "url string, html string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode("html", "utf-8").alias("html"),
+        F.expr("NULL").cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    labels = pipe.incremental(noise)
+    assert _partition(labels) == base
