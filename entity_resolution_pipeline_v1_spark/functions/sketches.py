@@ -124,7 +124,11 @@ def make_minhash_text_udf(num_hashes: int = 64, shingle_size: int = 5, seed: int
 @F.pandas_udf(T.DoubleType())
 def minhash_est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
     """Positional agreement rate of two MinHash signatures — the
-    standard Jaccard estimator — vectorized over the Arrow batch."""
+    standard Jaccard estimator — vectorized over the Arrow batch.
+    Kept as the parity reference for minhash_est_jaccard_expr (the
+    production prune path): identical values, but the expression stays
+    in whole-stage codegen instead of shipping 2×num_hashes longs per
+    candidate pair through Arrow."""
     out = np.zeros(len(sig1))
     mask = sig1.notna() & sig2.notna()
     if mask.any():
@@ -132,6 +136,22 @@ def minhash_est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
         b = np.stack(sig2[mask].to_numpy())
         out[mask.to_numpy()] = (a == b).mean(axis=1)
     return pd.Series(out)
+
+
+def minhash_est_jaccard_expr(sig1, sig2, num_hashes: int):
+    """Signature agreement rate as a pure column expression
+    (zip_with + aggregate): exact integer position-equality count over
+    the two signatures, divided by num_hashes — bit-identical to
+    minhash_est_jaccard_udf (tested), evaluated JVM-side inside the
+    candidate join stage with no Arrow hop. NULL if either side is
+    NULL (the UDF returns 0.0 there; the dedup prune filters both
+    away identically)."""
+    agree = F.aggregate(
+        F.zip_with(sig1, sig2, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree.cast("double") / F.lit(float(num_hashes))
 
 
 # token -> md5-prefix digest, shared across Arrow batches within one

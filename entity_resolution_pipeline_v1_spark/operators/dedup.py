@@ -31,7 +31,7 @@ from ..functions.sketches import (
     hamming64,
     lsh_band_keys,
     make_minhash_text_udf,
-    minhash_est_jaccard_udf,
+    minhash_est_jaccard_expr,
     simhash_band_keys,
     simhash_udf,
     winnow_fingerprint_udf,
@@ -161,7 +161,11 @@ def minhash_lsh_dedup(
     # everything within ~2 sigma of the threshold
     s1 = staged.select(F.col("doc").alias("id1"), F.col("_sig").alias("sig1"))
     s2 = staged.select(F.col("doc").alias("id2"), F.col("_sig").alias("sig2"))
-    est_col = minhash_est_jaccard_udf(F.col("sig1"), F.col("sig2"))
+    # JVM-side estimator (zip_with agreement count): the prune runs
+    # inside the candidate join's codegen stage — no Arrow hop for
+    # 2 x num_hashes longs per candidate pair (parity with the UDF
+    # estimator pinned in tests)
+    est_col = minhash_est_jaccard_expr(F.col("sig1"), F.col("sig2"), num_hashes)
     t = jaccard_threshold
     slack = 2.0 * (t * (1 - t) / num_hashes) ** 0.5
     survivors = (

@@ -109,3 +109,31 @@ def test_simhash_matches_scalar_definition(spark):
     got = [r["s"] for r in df.select(SK.simhash_udf("toks").alias("s")).collect()]
     want = [scalar_simhash(t[0]) for t in rows]
     assert got == want
+
+
+def test_minhash_est_expr_matches_udf(spark):
+    """The codegen zip_with estimator (the production prune path) must
+    be bit-identical to the Arrow UDF estimator on the same signature
+    pairs — including NULL handling semantics (expr: NULL, udf: 0.0;
+    the prune filter treats both as 'below threshold')."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):
+        a = [rng.randrange(0, 50) for _ in range(64)]
+        # force varying agreement rates
+        b = [x if rng.random() < rng.random() else rng.randrange(0, 50) for x in a]
+        rows.append((a, b))
+    rows.append((None, [1] * 64))
+    rows.append(([2] * 64, None))
+    df = spark.createDataFrame(rows, "sig1 array<bigint>, sig2 array<bigint>")
+    got = df.select(
+        SK.minhash_est_jaccard_expr(F.col("sig1"), F.col("sig2"), 64).alias("e"),
+        SK.minhash_est_jaccard_udf(F.col("sig1"), F.col("sig2")).alias("u"),
+    ).collect()
+    for r in got:
+        if r["e"] is None:
+            assert r["u"] == 0.0  # NULL side: expr NULL, udf 0.0 — both pruned
+        else:
+            assert r["e"] == r["u"]
