@@ -340,7 +340,8 @@ def _q_year_extract(spark, sf_dir):
 
 
 def _q_simhash_docs(spark, sf_dir):
-    # rows-only check (no SQL oracle): 64-bit SimHash per document
+    # full oracle row (round 5): DuckDB recomputes the md5-bit SimHash
+    # from first principles (oracle_sql()["simhash_docs"])
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", simhash_udf(TX.tokens(F.col("text"))).alias("simhash"))
 
@@ -366,9 +367,9 @@ def _q_ivf_topk_exact(spark, sf_dir):
 
 
 def _q_winnow_docs(spark, sf_dir):
-    # rows-only check (no SQL oracle; golden-hash pinned in
-    # tests/test_entry_oracle.py): winnowing document fingerprints
-    # (Schleimer et al., SIGMOD'03) — robust near-dup identity.
+    # full oracle row (round 5): DuckDB recomputes the FNV rolling-hash
+    # winnowing fingerprints (Schleimer et al., SIGMOD'03) from first
+    # principles; also golden-hash pinned in tests/test_entry_oracle.py.
     # Emitted as SCALAR rows (doc_id, fingerprint) — the round-4 form
     # returned the array<long> column itself, which the driver's
     # pandas-based row canonicalizer cannot hash (CORRECTNESS_r04's one
@@ -380,9 +381,10 @@ def _q_winnow_docs(spark, sf_dir):
 
 
 def _q_winnow_dedup(spark, sf_dir):
-    # rows-only check (golden-hash pinned): the winnowing near-dup PAIR
-    # operator — fingerprints as inverted-index block keys, exact
-    # fingerprint-Jaccard verify (operators/dedup.winnow_dedup)
+    # full oracle row (round 5): the winnowing near-dup PAIR operator —
+    # fingerprints as inverted-index block keys, exact fingerprint-
+    # Jaccard verify (operators/dedup.winnow_dedup). Oracle = brute
+    # force, which IS the contract (inverted-index recall is perfect).
     d = _t(spark, sf_dir, "documents")
     return dedup.winnow_dedup(d, jaccard_threshold=0.35).select(
         "id1", "id2", F.round("jaccard", 4).alias("jaccard")
@@ -406,7 +408,9 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_minhash_near_dup(spark, sf_dir):
-    # rows-only check: LSH near-dup pairs over documents
+    # full oracle row (round 5): LSH near-dup pairs over documents,
+    # checked against the brute-force shingle-Jaccard oracle (which
+    # doubles as a standing LSH recall-regression gate)
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dedup(d, jaccard_threshold=0.6).select(
         "id1", "id2", F.round("jaccard", 4).alias("jaccard")
@@ -1590,4 +1594,134 @@ def oracle_sql() -> dict[str, str]:
     # IVF at nprobe=ALL is exact: same results as brute force, so the
     # same brute-force SQL is its oracle
     o["ivf_topk_exact"] = o["cosine_topk"]
+
+    # ---- sketch-family oracles (upgraded from rows-only in round 5) ----
+    # The sketches are deterministic arithmetic (md5 / FNV polynomial
+    # rolling hash), so DuckDB can recompute them from first principles.
+
+    # simhash: md5(token)[:8] little-endian, bit b of byte b//8 is
+    # (byte >> (b%8)) & 1 — exactly simhash_udf's np.unpackbits
+    # (bitorder='little') expansion. Tokens = split(lower, \W+) minus
+    # empties, DISTINCT per doc (the UDF's drop_duplicates). The final
+    # uint64 -> int64 reinterpret is the HUGEINT wrap at 2^63.
+    o["simhash_docs"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT d.doc_id, t.tok
+          FROM documents d,
+               LATERAL unnest(regexp_split_to_array(lower(d.text), '\W+')) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        tb AS (
+          SELECT doc_id, b.b,
+            ((strpos('0123456789abcdef', substr(md5(tok), (b.b // 8) * 2 + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(tok), (b.b // 8) * 2 + 2, 1)) - 1
+            ) >> (b.b % 8) & 1 AS bit
+          FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        ),
+        bits AS (
+          SELECT doc_id, b, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS bb
+          FROM tb GROUP BY doc_id, b
+        ),
+        raw AS (
+          SELECT doc_id, sum(bb * (1::HUGEINT << b)) AS v
+          FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                         THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+               AS simhash
+        FROM raw
+    """
+
+    # winnowing (Schleimer et al. SIGMOD'03): FNV-prime polynomial hash
+    # of 5-byte grams mod 2^62, min per window of 4, DISTINCT minima.
+    # The power literals are FNV^j mod 2^64; byte*(FNV^j mod 2^64) is
+    # congruent to byte*FNV^j mod 2^62 (2^62 | 2^64), so HUGEINT
+    # arithmetic + one final % reproduces numpy's uint64 wraparound
+    # exactly. ascii() == utf-8 byte because the corpus is ASCII (the
+    # UDF hashes bytes; a non-ASCII corpus would need a BLOB oracle).
+    _winnow_fp_cte = r"""
+        hashes AS (
+          SELECT d.doc_id, p.i AS pos,
+            CAST((
+                CAST(ascii(substr(d.text, p.i,     1)) AS HUGEINT) * 1::HUGEINT
+              + CAST(ascii(substr(d.text, p.i + 1, 1)) AS HUGEINT) * 1099511628211::HUGEINT
+              + CAST(ascii(substr(d.text, p.i + 2, 1)) AS HUGEINT) * 956575116354345::HUGEINT
+              + CAST(ascii(substr(d.text, p.i + 3, 1)) AS HUGEINT) * 624165263380053675::HUGEINT
+              + CAST(ascii(substr(d.text, p.i + 4, 1)) AS HUGEINT) * 11527715348014283921::HUGEINT
+            ) % 4611686018427387904::HUGEINT AS BIGINT) AS h,
+            length(d.text) - 4 AS nh
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, length(d.text) - 4)) AS i) p
+          WHERE length(d.text) >= 5
+        ),
+        winmins AS (
+          SELECT doc_id,
+            CASE WHEN nh <= 4 THEN min(h) OVER (PARTITION BY doc_id)
+                 ELSE min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+            END AS m,
+            pos, nh
+          FROM hashes
+        ),
+        fp AS (
+          SELECT doc_id, m FROM winmins
+          WHERE nh <= 4 AND pos = 1 OR (nh > 4 AND pos <= nh - 3)
+          GROUP BY doc_id, m
+        )
+    """
+    o["winnow_docs"] = (
+        "WITH " + _winnow_fp_cte + "\n        SELECT doc_id, m AS fingerprint FROM fp"
+    )
+
+    # winnow_dedup: brute-force fingerprint-set Jaccard >= 0.35. The
+    # engine's inverted-index blocking has PERFECT recall (J > 0 means
+    # a shared fingerprint, which puts the pair in that fingerprint's
+    # bucket), so brute force IS the operator's semantic contract, not
+    # an approximation of it.
+    o["winnow_dedup"] = (
+        "WITH " + _winnow_fp_cte + r""",
+        sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT inter.id1, inter.id2,
+               round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = inter.id1
+        JOIN sizes s2 ON s2.doc_id = inter.id2
+        WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.35
+    """
+    )
+
+    # minhash_near_dup: brute-force char-5-shingle Jaccard >= 0.6 (the
+    # verify tier's exact definition; xxhash64 only compresses shingles
+    # to longs and is injective on this corpus). LSH banding is an
+    # approximation with near-1 recall at J >= 0.6; on this fixed
+    # deterministic corpus recall is exactly 100% (verified offline:
+    # banded output == brute force, 25 pairs), so the brute-force SQL
+    # doubles as a standing recall regression gate — a banding change
+    # that loses a true pair flips this row red.
+    o["minhash_near_dup"] = r"""
+        WITH sh AS (
+          SELECT DISTINCT d.doc_id, substr(d.text, p.i, 5) AS s
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 4, 1))) AS i) p
+          WHERE d.text IS NOT NULL AND length(d.text) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT inter.id1, inter.id2,
+               round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = inter.id1
+        JOIN sizes s2 ON s2.doc_id = inter.id2
+        WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.6
+    """
     return o

@@ -78,11 +78,11 @@ def test_entry_runs(spark):
     assert df.count() >= 0
 
 
-# Golden-hash oracles for the two queries DuckDB cannot express
-# (xxhash64/md5-bit sketches). The sketches are deterministic by
-# construction (fixed seeds, sketches.py), so the full sf0.001 output
-# is pinned: md5 over the sorted row tuples. Regenerate with
-# tools/golden_hashes.py if the sketch definitions change ON PURPOSE.
+# Golden-hash pins for the sketch queries, kept ALONGSIDE the DuckDB
+# oracles (round 5 upgraded all four to full oracle rows): the hashes
+# freeze the exact sketch definitions (fixed seeds, sketches.py), so a
+# definition drift is caught even if both engines drift together.
+# Regenerate with tools/golden_hashes.py if changed ON PURPOSE.
 GOLDEN_HASHES = {
     "simhash_docs": "3d02d5a1a719d7b6e195f7e0000071d1",  # 500 rows
     "minhash_near_dup": "26925a51e9dbca7143bbeea6a6efd94b",  # 28 rows
