@@ -688,6 +688,37 @@ def _q_media_frame_sampling(spark, sf_dir):
     return sample_frames(media, every_ms=50, fake=False)
 
 
+def _q_media_mp4_frames(spark, sf_dir):
+    # REAL MP4 frame indexing WITHOUT a codec: sample-table MP4s
+    # (run-length stts, uniform/per-sample stsz, 2-chunk stsc,
+    # stco/co64 by seed) are synthesized from a closed form of doc_id,
+    # then every frame's (time, duration, byte range) is parsed back
+    # OUT OF THE BYTES (multimodal.mp4_sample_table — ISO 14496-12
+    # §8.6-8.7 box walk, mdhd timescale 600 so a real unit conversion
+    # happens). The oracle recomputes the schedule arithmetically; any
+    # writer/parser drift — RLE expansion, chunk mapping, offset
+    # accumulation, 32/64-bit stco — breaks the hash.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4_frames_udf,
+        mp4_frames_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        make_mp4_frames_udf(F.col("doc_id").cast("long")).alias("payload"),
+    )
+    fr = media.select("media_id", F.explode(mp4_frames_udf("payload")).alias("s"))
+    return fr.select(
+        "media_id",
+        F.col("s.frame_index").alias("frame_index"),
+        F.col("s.start_ms").alias("start_ms"),
+        F.col("s.dur_ms").alias("dur_ms"),
+        F.col("s.byte_off").alias("byte_off"),
+        F.col("s.byte_len").alias("byte_len"),
+    )
+
+
 def _q_media_audio_stats(spark, sf_dir):
     # REAL sample decode for audio: a closed-form int16 ramp encoded
     # into REAL PCM WAV bytes, samples decoded back out of the bytes
@@ -950,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_stats": _q_media_gif_stats,
         "media_audio_stats": _q_media_audio_stats,
         "media_frame_sampling": _q_media_frame_sampling,
+        "media_mp4_frames": _q_media_mp4_frames,
         "media_jpeg_stats": _q_media_jpeg_stats,
         "matches_per_entity": _q_matches_per_entity,
         "feature_corr": _q_feature_corr,
@@ -1723,5 +1755,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes s1 ON s1.doc_id = inter.id1
         JOIN sizes s2 ON s2.doc_id = inter.id2
         WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.6
+    """
+
+    # MP4 frame index: the Spark side parses stts/stsz/stsc/stco back
+    # out of real container bytes; the oracle recomputes the closed-form
+    # schedule make_mp4_frames encodes (multimodal.mp4_frame_schedule).
+    # First frame byte offset = ftyp(16) + mdat header(8) = 24.
+    o["media_mp4_frames"] = """
+        WITH sched AS (
+          SELECT d.doc_id AS media_id, i.i AS frame_index,
+                 80 + 20 * ((d.doc_id + i.i // 2) % 3) AS dur_ms,
+                 CASE WHEN d.doc_id % 5 = 0 THEN 24
+                      ELSE 16 + (d.doc_id * 7 + i.i * 13) % 32 END AS byte_len
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(0, 2 + d.doc_id % 4)) AS i) i
+        )
+        SELECT media_id, frame_index,
+               CAST(coalesce(sum(dur_ms) OVER w, 0) AS BIGINT) AS start_ms,
+               CAST(dur_ms AS BIGINT) AS dur_ms,
+               CAST(24 + coalesce(sum(byte_len) OVER w, 0) AS BIGINT) AS byte_off,
+               CAST(byte_len AS BIGINT) AS byte_len
+        FROM sched
+        WINDOW w AS (PARTITION BY media_id ORDER BY frame_index
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """
     return o

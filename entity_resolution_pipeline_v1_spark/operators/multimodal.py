@@ -1211,6 +1211,291 @@ def make_av_udf(kind: pd.Series, duration_ms: pd.Series) -> pd.Series:
     )
 
 
+# ---- MP4 sample tables: codec-free frame indexing -----------------------
+# Frame EXTRACTION from MP4 needs a video codec (absent here, honestly
+# stubbed in extract_features). Frame INDEXING does not: the moov sample
+# tables (ISO/IEC 14496-12 §8.6-8.7 stts/stsz/stsc/stco) locate every
+# frame's byte range and presentation time with pure box parsing — the
+# standard first stage of any video ingestion pipeline (sample the
+# timeline, slice the frame bytes, hand payloads to a decoder fleet).
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the boxes in b[start:end].
+    Handles 64-bit largesize (size == 1) and to-end boxes (size == 0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(b: bytes, start: int, end: int, path: tuple[bytes, ...]):
+    """Body range of the first box at the nested box path, or None."""
+    for name in path:
+        hit = None
+        for typ, bs, be in _mp4_boxes(b, start, end):
+            if typ == name:
+                hit = (bs, be)
+                break
+        if hit is None:
+            return None
+        start, end = hit
+    return start, end
+
+
+def mp4_sample_table(b: bytes | None) -> list[tuple[int, int, int, int, int]] | None:
+    """Per-frame (frame_index, start_ms, dur_ms, byte_off, byte_len)
+    from the first track's sample tables — REAL box parsing, no codec:
+
+    - mdhd: media timescale (version 0 and 1 layouts)
+    - stts: run-length (count, delta) pairs -> per-sample durations
+    - stsz: uniform sample_size or the per-sample size list
+    - stsc: (first_chunk, samples_per_chunk) runs -> chunk membership
+    - stco/co64: 32/64-bit chunk offsets; sample offsets accumulate
+      within each chunk
+
+    Times convert to ms via integer units*1000//timescale. Returns None
+    for non-MP4/truncated input or when any required table is absent.
+    """
+    if not b or len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    n = len(b)
+    moov = _mp4_find(b, 0, n, (b"moov",))
+    if moov is None:
+        return None
+    mdia = _mp4_find(b, moov[0], moov[1], (b"trak", b"mdia"))
+    if mdia is None:
+        return None
+    mdhd = _mp4_find(b, mdia[0], mdia[1], (b"mdhd",))
+    stbl = _mp4_find(b, mdia[0], mdia[1], (b"minf", b"stbl"))
+    if mdhd is None or stbl is None:
+        return None
+    ver = b[mdhd[0]]
+    ts_at = mdhd[0] + (20 if ver == 1 else 12)
+    if ts_at + 4 > mdhd[1]:
+        return None
+    timescale = int.from_bytes(b[ts_at : ts_at + 4], "big")
+    if timescale == 0:
+        return None
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for typ, bs, be in _mp4_boxes(b, stbl[0], stbl[1]):
+        tables[typ] = (bs, be)
+    if b"stts" not in tables or b"stsz" not in tables or b"stsc" not in tables:
+        return None
+    if b"stco" not in tables and b"co64" not in tables:
+        return None
+
+    def u32(at: int) -> int:
+        return int.from_bytes(b[at : at + 4], "big")
+
+    # stts -> per-sample delta (media units)
+    s, _ = tables[b"stts"]
+    deltas: list[int] = []
+    for i in range(u32(s + 4)):
+        cnt, d = u32(s + 8 + i * 8), u32(s + 12 + i * 8)
+        deltas.extend([d] * cnt)
+    # stsz -> per-sample byte size
+    s, _ = tables[b"stsz"]
+    uniform, count = u32(s + 4), u32(s + 8)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = [u32(s + 12 + i * 4) for i in range(count)]
+    if count != len(deltas):
+        return None
+    # stco/co64 -> chunk offsets
+    if b"co64" in tables:
+        s, _ = tables[b"co64"]
+        offsets = [
+            int.from_bytes(b[s + 8 + i * 8 : s + 16 + i * 8], "big")
+            for i in range(u32(s + 4))
+        ]
+    else:
+        s, _ = tables[b"stco"]
+        offsets = [u32(s + 8 + i * 4) for i in range(u32(s + 4))]
+    # stsc runs -> samples per chunk (run extends to the next entry's
+    # first_chunk, the last run to the last chunk)
+    s, _ = tables[b"stsc"]
+    runs = [(u32(s + 8 + i * 12), u32(s + 12 + i * 12)) for i in range(u32(s + 4))]
+    per_chunk: list[int] = []
+    for i, (first, spc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+        per_chunk.extend([spc] * (last - first + 1))
+    if sum(per_chunk) != count:
+        return None
+
+    out = []
+    si, t = 0, 0
+    for ci, chunk_off in enumerate(offsets):
+        off = chunk_off
+        for _ in range(per_chunk[ci]):
+            out.append(
+                (
+                    si,
+                    t * 1000 // timescale,
+                    deltas[si] * 1000 // timescale,
+                    off,
+                    sizes[si],
+                )
+            )
+            t += deltas[si]
+            off += sizes[si]
+            si += 1
+    return out
+
+
+def mp4_frame_schedule(seed: int) -> list[tuple[int, int]]:
+    """The closed-form (dur_ms, byte_len) schedule make_mp4_frames
+    encodes for a seed — 3..6 frames, non-uniform durations in runs of
+    two (so the stts run-length encoder has real runs to compress),
+    sizes either varying (per-sample stsz) or constant (uniform stsz,
+    every 5th seed). The driver oracle recomputes this arithmetically."""
+    n = 3 + seed % 4
+    return [
+        (
+            80 + 20 * ((seed + i // 2) % 3),
+            24 if seed % 5 == 0 else 16 + (seed * 7 + i * 13) % 32,
+        )
+        for i in range(n)
+    ]
+
+
+def make_mp4_frames(seed: int) -> bytes:
+    """REAL fragmentless MP4 with a full sample-table track: ftyp, an
+    mdat carrying the actual frame payload bytes, and
+    moov/trak/mdia/{mdhd,minf/stbl/{stts,stsz,stsc,stco|co64}} indexing
+    them. Deliberately exercises the non-trivial table layouts:
+    run-length stts, uniform-vs-per-sample stsz (seed % 5), two chunks
+    with a 2-entry stsc, and co64 64-bit offsets (seed % 7). mdhd
+    timescale is 600 (mvhd stays 1000) so the parser must do a real
+    unit conversion. mp4_sample_table round-trips it exactly."""
+    sched = mp4_frame_schedule(seed)
+    n = len(sched)
+    payload = b"".join(
+        bytes((seed + i + k) % 256 for k in range(sz)) for i, (_, sz) in enumerate(sched)
+    )
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + (0).to_bytes(4, "big")
+    mdat = (8 + len(payload)).to_bytes(4, "big") + b"mdat" + payload
+    base = len(ftyp) + 8  # first frame byte: after the mdat header
+
+    def box(name: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + name + body
+
+    # stts: run-length encode the duration list in media units (ts 600)
+    units = [d * 600 // 1000 for d, _ in sched]
+    rle: list[tuple[int, int]] = []
+    for u in units:
+        if rle and rle[-1][1] == u:
+            rle[-1] = (rle[-1][0] + 1, u)
+        else:
+            rle.append((1, u))
+    stts = box(
+        b"stts",
+        (0).to_bytes(4, "big")
+        + len(rle).to_bytes(4, "big")
+        + b"".join(c.to_bytes(4, "big") + u.to_bytes(4, "big") for c, u in rle),
+    )
+    sizes = [sz for _, sz in sched]
+    if len(set(sizes)) == 1:
+        stsz_body = (0).to_bytes(4, "big") + sizes[0].to_bytes(4, "big") + n.to_bytes(4, "big")
+    else:
+        stsz_body = (
+            (0).to_bytes(4, "big")
+            + (0).to_bytes(4, "big")
+            + n.to_bytes(4, "big")
+            + b"".join(s.to_bytes(4, "big") for s in sizes)
+        )
+    stsz = box(b"stsz", stsz_body)
+    # two chunks: samples 0-1, then the rest (n >= 3 always)
+    stsc = box(
+        b"stsc",
+        (0).to_bytes(4, "big")
+        + (2).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + (2).to_bytes(4, "big") + (n - 2).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    chunk_offs = [base, base + sizes[0] + sizes[1]]
+    if seed % 7 == 0:
+        co = box(
+            b"co64",
+            (0).to_bytes(4, "big")
+            + (2).to_bytes(4, "big")
+            + b"".join(o.to_bytes(8, "big") for o in chunk_offs),
+        )
+    else:
+        co = box(
+            b"stco",
+            (0).to_bytes(4, "big")
+            + (2).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in chunk_offs),
+        )
+    total_units = sum(units)
+    mdhd = box(
+        b"mdhd",
+        bytes([0, 0, 0, 0])
+        + (0).to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + (600).to_bytes(4, "big")
+        + total_units.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")  # language 'und'
+        + (0).to_bytes(2, "big"),
+    )
+    stbl = box(b"stbl", stts + stsz + stsc + co)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", mdia)
+    total_ms = sum(d for d, _ in sched)
+    mvhd = box(
+        b"mvhd",
+        bytes([0, 0, 0, 0])
+        + (0).to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + (1000).to_bytes(4, "big")
+        + total_ms.to_bytes(4, "big"),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+@F.pandas_udf(T.BinaryType())
+def make_mp4_frames_udf(seed: pd.Series) -> pd.Series:
+    """Deterministic sample-table MP4 payload per row (make_mp4_frames)."""
+    return pd.Series([make_mp4_frames(int(s)) for s in seed], dtype=object)
+
+
+MP4_FRAMES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("frame_index", T.LongType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("dur_ms", T.LongType()),
+            T.StructField("byte_off", T.LongType()),
+            T.StructField("byte_len", T.LongType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(MP4_FRAMES_SCHEMA)
+def mp4_frames_udf(payload: pd.Series) -> pd.Series:
+    """Frame index rows parsed out of real MP4 bytes
+    (mp4_sample_table); NULL for non-MP4/truncated payloads."""
+    return pd.Series([mp4_sample_table(b) for b in payload], dtype=object)
+
+
 def make_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """REAL WAV encoder: RIFF + fmt + data with actual 16-bit mono PCM
     sample bytes (little-endian int16). Round-trips bit-exactly through
@@ -1435,14 +1720,20 @@ FRAME_SAMPLE_SCHEMA = T.ArrayType(
 def _make_gif_frame_sampler(every_ms: int):
     @F.pandas_udf(FRAME_SAMPLE_SCHEMA)
     def gif_frame_sampler(payload: pd.Series) -> pd.Series:
-        """REAL frame sampling for animated GIF payloads: the timeline
-        (per-frame start/duration) is parsed out of the actual GCE
-        bytes, then one sample is taken every ``every_ms`` and mapped
-        to the frame on screen at that instant. NULL for non-GIF."""
+        """REAL frame sampling for animated GIF and MP4 payloads: the
+        timeline (per-frame start/duration) is parsed out of the actual
+        bytes (GIF GCE blocks, or MP4 stts sample tables via
+        mp4_sample_table), then one sample is taken every ``every_ms``
+        and mapped to the frame on screen at that instant. NULL for
+        unrecognized payloads."""
         out = []
         for b in payload:
             tl = gif_frame_timeline(b)
             if tl is None:
+                st = mp4_sample_table(b)
+                if st:
+                    tl = [(r[1], r[2]) for r in st]
+            if not tl:
                 out.append(None)
                 continue
             total = tl[-1][0] + tl[-1][1]
@@ -1465,12 +1756,16 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling: one row per sampled frame.
 
-    The REAL path (`fake=False`) works on animated GIF payloads —
-    per-frame timing parsed from the actual bytes (gif_frame_timeline),
-    each sample mapped to the frame on screen at that timestamp. MP4
-    frame extraction stays stubbed (codec-bound); non-GIF payloads
-    yield no rows on the real path. `fake=True` keeps the deterministic
-    metadata-driven stand-in for any format."""
+    The REAL path (`fake=False`) works on animated GIF and MP4
+    payloads — per-frame timing parsed from the actual bytes (GIF GCE
+    blocks via gif_frame_timeline; MP4 stts sample tables via
+    mp4_sample_table), each sample mapped to the frame on screen at
+    that timestamp. MP4 frame PIXEL decode stays stubbed (codec-bound:
+    extract_features), but frame indexing/sampling is real —
+    mp4_frames_udf additionally yields each frame's byte range for a
+    downstream decoder. Unrecognized payloads yield no rows on the
+    real path. `fake=True` keeps the deterministic metadata-driven
+    stand-in for any format."""
     if fake:
         frames = F.sequence(
             F.lit(0),

@@ -375,3 +375,79 @@ def test_jpeg_restart_intervals_roundtrip(ri):
     assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))  # real RSTn
     out = decode_jpeg_pixels(enc)
     assert out is not None and (out == plain).all()
+
+
+# ---- MP4 sample tables (stts/stsz/stsc/stco frame indexing) -------------
+
+
+def _expected_frame_rows(seed: int):
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        mp4_frame_schedule,
+    )
+
+    rows, t, off = [], 0, 24
+    for i, (d, sz) in enumerate(mp4_frame_schedule(seed)):
+        rows.append((i, t, d, off, sz))
+        t += d
+        off += sz
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 7, 10, 14, 35, 499])
+def test_mp4_sample_table_roundtrip(seed):
+    # seeds cover: uniform stsz (seed % 5 == 0), co64 offsets
+    # (seed % 7 == 0), per-sample stsz + stco otherwise, and every
+    # frame count 3..6. The parse must reproduce the closed-form
+    # schedule EXACTLY, including the 600-units -> ms conversion.
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4_frames,
+        mp4_sample_table,
+    )
+
+    assert mp4_sample_table(make_mp4_frames(seed)) == _expected_frame_rows(seed)
+
+
+def test_mp4_sample_table_frame_bytes_are_addressable():
+    # the byte ranges must index the ACTUAL mdat payload: slicing the
+    # container at (byte_off, byte_len) yields the deterministic frame
+    # content make_mp4_frames wrote
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4_frames,
+        mp4_sample_table,
+    )
+
+    seed = 11
+    b = make_mp4_frames(seed)
+    for i, _t, _d, off, ln in mp4_sample_table(b):
+        assert b[off : off + ln] == bytes((seed + i + k) % 256 for k in range(ln))
+
+
+def test_mp4_sample_table_rejects_garbage_and_truncation():
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4_frames,
+        mp4_sample_table,
+    )
+
+    assert mp4_sample_table(None) is None
+    assert mp4_sample_table(b"") is None
+    assert mp4_sample_table(b"RIFF\x00\x00\x00\x00WAVE") is None
+    full = make_mp4_frames(8)
+    for cut in (4, 12, 40, len(full) // 2):
+        assert mp4_sample_table(full[:cut]) is None
+
+
+def test_mp4_av_header_still_parses_sample_table_files():
+    # mvhd (timescale 1000) coexists with the mdhd-600 track: the
+    # duration header parse and the sample-table parse agree on total
+    # duration
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4_frames,
+        mp4_sample_table,
+    )
+
+    for seed in (0, 3, 9):
+        b = make_mp4_frames(seed)
+        mime, dur = _parse_av_header(b)
+        st = mp4_sample_table(b)
+        assert mime == "video/mp4"
+        assert dur == st[-1][1] + st[-1][2]
