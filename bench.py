@@ -60,6 +60,7 @@ HEADLINE = [
     "media_gif_stats",
     "media_audio_stats",
     "media_jpeg_stats",
+    "media_mp4_frames",
     "matches_per_entity",
     "feature_corr",
     "cluster_stats",
