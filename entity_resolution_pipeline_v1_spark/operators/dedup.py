@@ -250,6 +250,8 @@ def winnow_dedup(
     jaccard_threshold: float = 0.5,
     max_block: int = 5000,
     key_sample_mod: int = 1,
+    persist_fingerprints: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Winnowing near-dup pairs — the third sketch-based dedup family
     beside minhash/simhash (wires the fingerprints from
@@ -276,11 +278,25 @@ def winnow_dedup(
     an m× candidate-volume reduction for corpus-scale runs; recall
     then holds for pairs sharing ≥ 1 SELECTED fingerprint. The verify
     always uses ALL fingerprints.
+
+    The fingerprint frame is read three times (block keys + both
+    verify sides); ``persist_fingerprints`` caches it MEMORY_AND_DISK
+    so the per-document Arrow sketching pass — the dominant cost —
+    runs once, not three times (the same three-read shape
+    minhash_lsh_dedup persists its signatures for). Pass ``persisted``
+    to receive the handle for deterministic unpersist after the
+    returned plan materializes.
     """
+    from pyspark.storagelevel import StorageLevel
+
     fps = docs.select(
         F.col(id_col).alias("doc"),
         winnow_fingerprint_udf(F.col(text_col)).alias("fp"),
     ).filter(F.size("fp") > 0)
+    if persist_fingerprints:
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(fps)
     keys = fps.select("doc", F.explode("fp").alias("block_key"))
     if key_sample_mod > 1:
         keys = keys.filter(F.pmod(F.col("block_key"), F.lit(key_sample_mod)) == 0)

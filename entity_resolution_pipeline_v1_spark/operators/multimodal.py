@@ -925,8 +925,11 @@ def decode_jpeg_pixels(b: bytes | None) -> np.ndarray | None:
     same tier as the GIF LZW codec."""
     try:
         return _decode_jpeg(b)
-    except (IndexError, ValueError, EOFError):
-        return None  # malformed/truncated bytes: None, never a wrong answer
+    except (IndexError, ValueError, EOFError, KeyError, ZeroDivisionError):
+        # malformed/truncated bytes: None, never a wrong answer.
+        # KeyError: an SOS referencing a component id SOF never
+        # declared; ZeroDivisionError: a declared sampling factor of 0.
+        return None
 
 
 def _decode_jpeg(b: bytes | None) -> np.ndarray | None:
@@ -1267,8 +1270,18 @@ def mp4_sample_table(b: bytes | None) -> list[tuple[int, int, int, int, int]] | 
       within each chunk
 
     Times convert to ms via integer units*1000//timescale. Returns None
-    for non-MP4/truncated input or when any required table is absent.
+    for non-MP4/truncated input or when any required table is absent —
+    including malformed-but-box-valid files (stsc runs that skip
+    chunk 1, table counts pointing past the payload): the guard below
+    turns every structural inconsistency into None, never a crash.
     """
+    try:
+        return _mp4_sample_table(b)
+    except (IndexError, ValueError, OverflowError):
+        return None
+
+
+def _mp4_sample_table(b: bytes | None) -> list[tuple[int, int, int, int, int]] | None:
     if not b or len(b) < 12 or b[4:8] != b"ftyp":
         return None
     n = len(b)
@@ -1301,40 +1314,65 @@ def mp4_sample_table(b: bytes | None) -> list[tuple[int, int, int, int, int]] | 
     def u32(at: int) -> int:
         return int.from_bytes(b[at : at + 4], "big")
 
+    # Every declared entry count is bounded by what its box body can
+    # physically hold BEFORE any list is allocated — a crafted header
+    # declaring 2^32 samples in an 8-byte table yields None, not an
+    # OOM'd executor. Sample counts themselves are additionally bounded
+    # by the payload size (a sample occupies >= 0 bytes of a file that
+    # exists): cap expansion at len(b) samples.
     # stts -> per-sample delta (media units)
-    s, _ = tables[b"stts"]
+    s, e = tables[b"stts"]
+    n_entries = u32(s + 4)
+    if s + 8 + n_entries * 8 > e:
+        return None
     deltas: list[int] = []
-    for i in range(u32(s + 4)):
+    for i in range(n_entries):
         cnt, d = u32(s + 8 + i * 8), u32(s + 12 + i * 8)
+        if len(deltas) + cnt > n:
+            return None
         deltas.extend([d] * cnt)
     # stsz -> per-sample byte size
-    s, _ = tables[b"stsz"]
+    s, e = tables[b"stsz"]
     uniform, count = u32(s + 4), u32(s + 8)
+    if count != len(deltas):
+        return None
     if uniform:
         sizes = [uniform] * count
     else:
+        if s + 12 + count * 4 > e:
+            return None
         sizes = [u32(s + 12 + i * 4) for i in range(count)]
-    if count != len(deltas):
-        return None
     # stco/co64 -> chunk offsets
     if b"co64" in tables:
-        s, _ = tables[b"co64"]
+        s, e = tables[b"co64"]
+        n_chunks = u32(s + 4)
+        if s + 8 + n_chunks * 8 > e:
+            return None
         offsets = [
             int.from_bytes(b[s + 8 + i * 8 : s + 16 + i * 8], "big")
-            for i in range(u32(s + 4))
+            for i in range(n_chunks)
         ]
     else:
-        s, _ = tables[b"stco"]
-        offsets = [u32(s + 8 + i * 4) for i in range(u32(s + 4))]
+        s, e = tables[b"stco"]
+        n_chunks = u32(s + 4)
+        if s + 8 + n_chunks * 4 > e:
+            return None
+        offsets = [u32(s + 8 + i * 4) for i in range(n_chunks)]
     # stsc runs -> samples per chunk (run extends to the next entry's
     # first_chunk, the last run to the last chunk)
-    s, _ = tables[b"stsc"]
-    runs = [(u32(s + 8 + i * 12), u32(s + 12 + i * 12)) for i in range(u32(s + 4))]
+    s, e = tables[b"stsc"]
+    n_runs = u32(s + 4)
+    if s + 8 + n_runs * 12 > e:
+        return None
+    runs = [(u32(s + 8 + i * 12), u32(s + 12 + i * 12)) for i in range(n_runs)]
     per_chunk: list[int] = []
     for i, (first, spc) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
-        per_chunk.extend([spc] * (last - first + 1))
-    if sum(per_chunk) != count:
+        reps = last - first + 1
+        if reps > 0 and spc * reps > n:
+            return None
+        per_chunk.extend([spc] * reps)
+    if len(per_chunk) != len(offsets) or sum(per_chunk) != count:
         return None
 
     out = []

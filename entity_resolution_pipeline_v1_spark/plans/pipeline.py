@@ -342,10 +342,20 @@ class ERPipeline:
 
         Equivalence vs a full rerun: exact for the equi-key blocking
         families (same keys -> same pairs; old-old pairs were already
-        scored in the base run). Sorted-neighborhood old-old pairs
-        whose window distance changed when new records were inserted
-        into the sort are the one divergence — bounded by the window
-        and covered by the redundant key families in practice.
+        scored in the base run). Two bounded divergences, both in the
+        conservative direction (the attach RETAINS edges a rerun would
+        not re-derive, never invents ones it couldn't):
+        - sorted-neighborhood old-old pairs whose window distance
+          changed when new records were inserted into the sort —
+          bounded by the window, covered by the redundant key families;
+        - a block key whose COMBINED count crosses max_block_size only
+          after an attach: the full rerun drops the whole key
+          (cap_blocks), losing its old-old pairs' recall, while the
+          attach keeps the old-old match edges already in cc_raw (it
+          only stops generating NEW pairs from the key). Keeping
+          previously verified matches when a key turns hot is the
+          behavior a production deployment wants; a from-scratch
+          rebuild is the way to resync exactly with rerun semantics.
 
         Each call writes a self-contained increment dir
         (<work>/inc=<k>/stage=...) holding the NEW batch's records/
@@ -553,20 +563,29 @@ class ERPipeline:
         """(id1, id2, match, …features…, confidence, is_match) for the
         labeled ground-truth pairs, scored through the same hydration +
         feature + classify path as production candidates — the input to
-        reports.error_analysis."""
+        reports.error_analysis.
+
+        Hydration is an inner join, so a labeled pair whose record is
+        absent from records_wide (failed parse, never ingested) drops
+        out of the scored frame; the final left join puts every labeled
+        pair back with NULL confidence, which error_analysis counts as
+        predicted-False (its documented 'never a candidate' cell) — the
+        same coalesce pairwise_metrics applies, so the two reports
+        always agree on n_pairs and recall."""
         pair_ids = labels.select(
             F.col("left").alias("id1"), F.col("right").alias("id2"), "match"
         )
         feat = features.with_all_features(
             features.hydrate_pairs(pair_ids, wide), dim=self.cfg.embedding_dim
         )
-        return classify.classify_pairs(
+        scored = classify.classify_pairs(
             feat,
             self.model,
             self.cfg,
             year_match_col=F.col("year_match"),
-            keep_columns=("match", *ALL_FEATURE_NAMES),
+            keep_columns=(*ALL_FEATURE_NAMES,),
         )
+        return pair_ids.join(scored, on=["id1", "id2"], how="left")
 
     # -- training path ------------------------------------------------------
     def _train(self, labels: DataFrame, wide: DataFrame) -> classify.Model:

@@ -23,7 +23,7 @@ operator slot (applyInPandasWithState) of the build brief.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -34,9 +34,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-if TYPE_CHECKING:  # pragma: no cover
-    pass
 
 PAIR_SCHEMA = StructType(
     [
@@ -55,6 +52,7 @@ def _make_pair_fn(max_block_size: int):
         (block_key,) = key
         (seen,) = state.get if state.exists else ([],)
         seen = list(seen)
+        seen_set = set(seen)  # O(1) membership; `seen` keeps emit order
         capped = len(seen) >= max_block_size
         out_id1: list[str] = []
         out_id2: list[str] = []
@@ -62,15 +60,16 @@ def _make_pair_fn(max_block_size: int):
             # deterministic within a micro-batch regardless of arrival
             # partitioning: process ids in sorted order
             for rid in sorted(pdf["record_id"].dropna().unique()):
-                if rid in seen:
-                    continue  # replayed record — idempotent
-                if capped:
-                    continue
+                # capped first: a celebrity key in steady state skips
+                # each further record in O(1), not O(cap) list scans
+                if capped or rid in seen_set:
+                    continue  # capped, or replayed record (idempotent)
                 for old in seen:
                     a, b = (old, rid) if old < rid else (rid, old)
                     out_id1.append(a)
                     out_id2.append(b)
                 seen.append(rid)
+                seen_set.add(rid)
                 if len(seen) >= max_block_size:
                     capped = True
         state.update((seen,))

@@ -49,6 +49,13 @@ def split_corpus(spark):
 
 
 def test_incremental_matches_full_rerun(spark, split_corpus, tmp_path_factory):
+    # NB: exact equivalence holds while no block key crosses
+    # max_block_size between the base run and the combined corpus (true
+    # for this fixture by construction). A key that turns hot only
+    # after an attach diverges conservatively — the attach keeps the
+    # key's already-verified old-old edges while a rerun's cap_blocks
+    # drops the whole key (incremental() docstring, 'Two bounded
+    # divergences').
     corpus, old, new = split_corpus
     full_work = str(tmp_path_factory.mktemp("full"))
     base_work = str(tmp_path_factory.mktemp("base"))

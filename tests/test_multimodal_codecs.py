@@ -451,3 +451,58 @@ def test_mp4_av_header_still_parses_sample_table_files():
         st = mp4_sample_table(b)
         assert mime == "video/mp4"
         assert dur == st[-1][1] + st[-1][2]
+
+
+def test_mp4_sample_table_malformed_tables_yield_none_not_crash():
+    # box-valid but structurally inconsistent tables (the kind a real
+    # corpus contains) must yield None, never an exception or an OOM
+    # allocation: stsc runs skipping chunk 1, and entry counts that
+    # point far past the table body / payload size
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        make_mp4_frames,
+        mp4_sample_table,
+    )
+
+    b = bytearray(make_mp4_frames(1))
+    i = bytes(b).find(b"stsc")
+    b[i + 8 : i + 12] = (1).to_bytes(4, "big")  # entry_count = 1
+    b[i + 12 : i + 16] = (2).to_bytes(4, "big")  # first_chunk = 2
+    assert mp4_sample_table(bytes(b)) is None
+
+    b = bytearray(make_mp4_frames(2))
+    i = bytes(b).find(b"stts")
+    b[i + 8 : i + 12] = (0x0FFFFFFF).to_bytes(4, "big")
+    assert mp4_sample_table(bytes(b)) is None
+
+    b = bytearray(make_mp4_frames(3))
+    i = bytes(b).find(b"stsz")
+    b[i + 8 : i + 12] = (0).to_bytes(4, "big")
+    b[i + 12 : i + 16] = (0x7FFFFFFF).to_bytes(4, "big")
+    assert mp4_sample_table(bytes(b)) is None
+
+    b = bytearray(make_mp4_frames(4))
+    i = bytes(b).find(b"stco")
+    b[i + 8 : i + 12] = (0x00FFFFFF).to_bytes(4, "big")
+    assert mp4_sample_table(bytes(b)) is None
+
+
+def test_jpeg_malformed_component_refs_yield_none_not_crash():
+    # an SOS naming a component id SOF0 never declared (KeyError in
+    # the scan setup) and a declared sampling factor of 0
+    # (ZeroDivisionError in the MCU geometry) must both hit the
+    # decode guard, not escape it
+    from entity_resolution_pipeline_v1_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    enc = bytes(encode_jpeg(gradient_pixels(16, 16, 3)))
+    i = enc.find(b"\xff\xda")  # SOS: marker(2) len(2) ncomp(1) (cid, tsel)...
+    bad_cid = bytearray(enc)
+    bad_cid[i + 5] = 9
+    assert decode_jpeg_pixels(bytes(bad_cid)) is None
+
+    j = enc.find(b"\xff\xc0")  # SOF0: ... ncomp(1) then (cid, hv, tq)
+    zero_hv = bytearray(enc)
+    zero_hv[j + 11] = 0
+    assert decode_jpeg_pixels(bytes(zero_hv)) is None

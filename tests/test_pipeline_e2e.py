@@ -198,3 +198,26 @@ def test_exact_duplicate_flood_forms_flagged_cluster(spark, tmp_path_factory):
         F.min(F.col("oversized").cast("int")).alias("ovr"),
     ).collect()[0]
     assert (agg["n"], agg["k"], agg["ovr"]) == (200, 1, 1)
+
+
+def test_score_labeled_keeps_pairs_with_missing_records(run, spark, labeled):
+    # a labeled pair whose record never made it into records_wide
+    # (failed parse / never ingested) must NOT silently vanish from the
+    # error-analysis input: it comes back from _score_labeled with NULL
+    # confidence, which error_analysis counts as predicted-False — the
+    # same coalesce pairwise_metrics applies, so the two reports agree
+    # on n_pairs and recall
+    pipe, _labels, work = run
+    wide = spark.read.parquet(os.path.join(work, "stage=records_wide"))
+    anchor = labeled.limit(1).collect()[0]["left"]
+    ghost = spark.createDataFrame(
+        [(anchor, "no-such-record", True)], ["left", "right", "match"]
+    )
+    scored = pipe._score_labeled(labeled.unionByName(ghost), wide).cache()
+    assert scored.count() == labeled.count() + 1
+    ghost_rows = scored.filter(F.col("id2") == "no-such-record").collect()
+    assert len(ghost_rows) == 1
+    assert ghost_rows[0]["confidence"] is None
+    assert ghost_rows[0]["match"] is True
+    # hydrated pairs still score: non-null confidences elsewhere
+    assert scored.filter(F.col("confidence").isNotNull()).count() == labeled.count()
