@@ -366,6 +366,25 @@ def _q_ivf_topk_exact(spark, sf_dir):
     )
 
 
+def _q_lsh_topk(spark, sf_dir):
+    # the LSH-bucketed ANN family (random hyperplanes, multi-probe
+    # radius 1) with the bucket assignment ITSELF oracle-recomputable:
+    # integer closed-form plane coefficients over floor(v*1000)
+    # quantized components, so the candidate set — not just the
+    # cosines — is pinned cross-engine (operators/simsearch.lsh_topk)
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.lsh_topk(
+        e.select("vec_id", "embedding"), queries,
+        k=3, n_planes=8, hamming_radius=1, id_col="vec_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def _q_winnow_docs(spark, sf_dir):
     # full oracle row (round 5): DuckDB recomputes the FNV rolling-hash
     # winnowing fingerprints (Schleimer et al., SIGMOD'03) from first
@@ -969,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup": _q_winnow_dedup,
         "prefilter_cascade": _q_prefilter_cascade,
         "ivf_topk_exact": _q_ivf_topk_exact,
+        "lsh_topk": _q_lsh_topk,
         "connected_components": _q_connected_components,
         "year_cascade": _q_year_cascade,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
@@ -1755,6 +1775,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes s1 ON s1.doc_id = inter.id1
         JOIN sizes s2 ON s2.doc_id = inter.id2
         WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.6
+    """
+
+    # LSH-bucketed ANN: the oracle recomputes the ENTIRE pipeline from
+    # first principles — integer hyperplane dots over floor(v*1000)
+    # quantized components (sign = bucket bit; integer arithmetic means
+    # the candidate set is bit-identical cross-engine), multi-probe
+    # radius 1 as bit_count(xor) <= 1, exact cosine + top-3 on the
+    # candidates. A recall/banding drift in lsh_topk flips this row.
+    o["lsh_topk"] = """
+        WITH dots AS (
+          SELECT e.vec_id, p.p,
+                 sum(CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000) AS BIGINT)
+                     * (((p.p * 31 + d.d * 17) % 7) - 3)) AS dot
+          FROM embeddings e
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) p
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+          GROUP BY e.vec_id, p.p
+        ),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        ),
+        q AS (
+          SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket AS qb
+          FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 5
+        ),
+        c AS (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket AS cb
+          FROM embeddings e JOIN buckets b USING (vec_id)
+        ),
+        cand AS (
+          SELECT q.query_id, c.neighbor_id,
+                 list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) AS cos
+          FROM q JOIN c ON bit_count(xor(q.qb, c.cb)) <= 1
+          WHERE CAST(q.query_id AS VARCHAR) <> CAST(c.neighbor_id AS VARCHAR)
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+        FROM ranked WHERE rank <= 3
     """
 
     # MP4 frame index: the Spark side parses stts/stsz/stsc/stco back

@@ -50,6 +50,7 @@ HEADLINE = [
     # correctness driver runs it at sf0.01 where it belongs
     "winnow_docs",
     "ivf_topk_exact",
+    "lsh_topk",
     "connected_components",
     "year_cascade",
     "jaro_winkler_pairs",

@@ -228,3 +228,99 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+# ---- random-hyperplane LSH (the bucketed ANN family beside IVF) ----------
+
+def _plane_coeff(p: int, d: int) -> int:
+    """Deterministic integer hyperplane coefficients in [-3, 3]. A
+    closed form instead of an RNG so the bucket assignment itself is
+    recomputable from first principles by the SQL oracle (the same
+    philosophy as the md5/FNV sketch oracles)."""
+    return ((p * 31 + d * 17) % 7) - 3
+
+
+def hyperplane_bucket_expr(vec_col, n_planes: int, dim: int):
+    """int64 LSH bucket: bit p = sign of the p-th hyperplane dot.
+
+    The dot runs over floor(v_d * 1000) QUANTIZED components — integer
+    arithmetic end to end, so the sign (hence the bucket, hence the
+    candidate set) is bit-identical across engines; a float dot's sign
+    near 0 could legitimately differ between two correct summation
+    orders. Unrolled element_at terms, fully codegen'd (the same shape
+    as the fused cosine dot; zero coefficients are dropped)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        terms = [
+            F.floor(v[d].cast("double") * 1000).cast("long") * F.lit(c)
+            for d in range(dim)
+            if (c := _plane_coeff(p, d)) != 0
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    hamming_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank<=k) via random-hyperplane
+    LSH — the bucketed ANN family beside :func:`ivf_topk`:
+
+    - both sides get an int64 sign-bit bucket (hyperplane_bucket_expr);
+    - multi-probe: each query probes its own bucket plus every bucket
+      at Hamming distance <= ``hamming_radius`` (radius 0 or 1; radius
+      1 explodes n_planes+1 probe keys — the standard multi-probe
+      trade of query fan-out for recall);
+    - candidates come from a plain equi-join on the bucket key — both
+      sides SHUFFLE on a compact long, no broadcast requirement, so an
+      unbounded query side scales exactly like ivf_topk's cell join;
+    - exact cosine + per-query top-k window on candidates only.
+
+    ``n_planes=0`` degenerates to one bucket = brute force (the exact
+    oracle mode, like ivf_topk at nprobe=ALL). Probe buckets at radius
+    1 are pairwise distinct, so a (query, vector) pair joins at most
+    once — no candidate dedup pass needed."""
+    if hamming_radius not in (0, 1):
+        raise ValueError("hamming_radius supports 0 or 1")
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
+    corpus = _ensure_parallelism(corpus)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_cn", norm_expr("_cv"))
+        .withColumn("bucket", hyperplane_bucket_expr("_cv", n_planes, dim))
+    )
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", norm_expr("_qv"))
+        .withColumn("_qb", hyperplane_bucket_expr("_qv", n_planes, dim))
+    )
+    probes = [F.col("_qb")]
+    if hamming_radius >= 1:
+        probes += [F.col("_qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    qp = q.withColumn("bucket", F.explode(F.array(*probes)))
+    scored = (
+        qp.join(c, on="bucket")
+        .withColumn("cosine", pair_cosine_expr("_qv", "_cv", "_qn", "_cn", _fused_dim(dim)))
+        .filter(F.col(query_id_col).cast("string") != F.col("neighbor_id").cast("string"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

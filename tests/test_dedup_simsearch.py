@@ -214,6 +214,38 @@ def test_ivf_recall(vectors):
     assert recall >= 0.8
 
 
+def test_lsh_topk_degenerate_is_brute_force(vectors):
+    # n_planes=0 puts everything in one bucket: exact top-k.
+    queries = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.brute_force_topk(vectors, queries, k=5)
+    lsh = simsearch.lsh_topk(vectors, queries, k=5, n_planes=0, hamming_radius=0)
+    e = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in lsh.collect()}
+    assert e == a
+
+
+def test_lsh_topk_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.brute_force_topk(vectors, queries, k=5)
+    approx = simsearch.lsh_topk(vectors, queries, k=5, n_planes=8, hamming_radius=1)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
+    # multi-probe radius 1 must not emit a (query, neighbor) pair twice
+    rows = approx.collect()
+    assert len(rows) == len({(r["query_id"], r["neighbor_id"]) for r in rows})
+
+
+def test_lsh_topk_rejects_bad_radius(vectors):
+    queries = vectors.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError):
+        simsearch.lsh_topk(vectors, queries, hamming_radius=2)
+
+
 def test_embedding_near_dup(spark):
     v1 = [1.0, 0.0, 0.0]
     v2 = [0.999, 0.01, 0.0]
