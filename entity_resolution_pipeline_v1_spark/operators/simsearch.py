@@ -247,19 +247,29 @@ def hyperplane_bucket_expr(vec_col, n_planes: int, dim: int):
     arithmetic end to end, so the sign (hence the bucket, hence the
     candidate set) is bit-identical across engines; a float dot's sign
     near 0 could legitimately differ between two correct summation
-    orders. Unrolled element_at terms, fully codegen'd (the same shape
-    as the fused cosine dot; zero coefficients are dropped)."""
+    orders.
+
+    Physical shape: zip_with against a LITERAL coefficient array per
+    plane, folded by aggregate — a constant-size expression tree at any
+    dim. NOT the fused-cosine unroll: multi-probe references the bucket
+    n_planes+1 times, and collapse-project inlines the expression into
+    every probe key, so an unrolled n_planes×dim tree (440 nodes at dim
+    64, ~10k at the reference's 1536) multiplies into the plan —
+    measured 7.3s vs 1.05s of driver-side planning at dim 64 before a
+    single row moves, and past 64KB codegen at large dims."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        terms = [
-            F.floor(v[d].cast("double") * 1000).cast("long") * F.lit(c)
-            for d in range(dim)
-            if (c := _plane_coeff(p, d)) != 0
-        ]
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
+        coeffs = F.lit([_plane_coeff(p, d) for d in range(dim)]).cast("array<long>")
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                coeffs,
+                lambda x, c: F.floor(x.cast("double") * 1000).cast("long") * c,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 

@@ -240,6 +240,28 @@ def test_lsh_topk_recall(vectors):
     assert len(rows) == len({(r["query_id"], r["neighbor_id"]) for r in rows})
 
 
+def test_hyperplane_bucket_matches_numpy(vectors):
+    # the quantized integer dot makes the bucket exactly recomputable:
+    # pin the Spark expression against an independent numpy rebuild
+    got = {
+        r["vec_id"]: r["b"]
+        for r in vectors.withColumn(
+            "b", simsearch.hyperplane_bucket_expr("embedding", 8, 16)
+        ).collect()
+    }
+    pdf = vectors.toPandas()
+    C = np.array(
+        [[simsearch._plane_coeff(p, d) for d in range(16)] for p in range(8)],
+        dtype=np.int64,
+    )
+    for _, row in pdf.iterrows():
+        q = np.floor(np.asarray(row["embedding"], dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        want = int(sum(1 << p for p in range(8) if int(C[p] @ q) >= 0))
+        assert got[row["vec_id"]] == want
+
+
 def test_lsh_topk_rejects_bad_radius(vectors):
     queries = vectors.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError):
