@@ -105,11 +105,13 @@ def minhash_lsh_dedup(
     shingle Jaccard, never the signature estimate.
 
     Two-tier verification keeps the expensive part off the flood path:
-      1. cheap signature-estimate PRUNE (the signatures are already in
-         hand from banding) drops candidate pairs whose estimated
-         Jaccard is hopeless — LSH banding over-generates badly when
-         the corpus is self-similar; the estimate is filter-only and
-         never emitted;
+      1. cheap signature-estimate PRUNE evaluated INSIDE the band
+         join's output stage (the signatures ride the band-key rows)
+         drops candidate pairs whose estimated Jaccard is hopeless
+         BEFORE any per-pair shuffle — LSH banding over-generates
+         badly when the corpus is self-similar, and the flood must die
+         in the stage that produces it; the estimate is filter-only
+         and never emitted;
       2. exact Jaccard over xxhash64-hashed shingles (longs, not
          strings) on every survivor.
 
@@ -118,7 +120,7 @@ def minhash_lsh_dedup(
     AQE promotes them to broadcast at runtime when they fit under
     spark.sql.autoBroadcastJoinThreshold. Signatures are persisted
     MEMORY_AND_DISK (spill-safe) because the plan reads them three
-    times (band keys + both estimate sides); pass
+    times (hot-key count + both band-join sides); pass
     ``persist_signatures=False`` to recompute instead — the right
     trade when executor memory is the constraint. A caller that owns
     the session should either pass ``persisted`` (a list the persisted
@@ -137,6 +139,15 @@ def minhash_lsh_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from .util import ensure_parallelism
+
+    # spread the per-document Arrow sketching and shingle passes: the
+    # documents table often arrives as ONE parquet file (a few MB even
+    # at 50k docs), so without this every sketch UDF below runs in a
+    # single task while the other cores idle (measured at sf1.0: the
+    # signature pass alone 8.0s serial vs ~1s spread; the tier-2
+    # shingle sides 37s serial)
+    docs = ensure_parallelism(docs)
     mh = make_minhash_text_udf(num_hashes, shingle_size)
     staged = docs.select(
         F.col(id_col).alias("doc"),
@@ -144,36 +155,39 @@ def minhash_lsh_dedup(
     )
     if persist_signatures:
         staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    # band keys CARRY the signature: the tier-1 estimate prune runs
+    # inside the band join itself, BEFORE any per-pair shuffle. The
+    # round-5 shape materialized the distinct candidate set first and
+    # joined the signatures back on — on a self-similar corpus banding
+    # over-generates catastrophically (measured at sf1.0: 30.3M distinct
+    # candidate pairs, of which tier 1 keeps 5,006), so the candidate
+    # dropDuplicates shuffled 30M pair rows and the two signature
+    # hydration joins ran over all of them: 61s of the 86s total. With
+    # the signatures riding the band keys (num_hashes longs per exploded
+    # key row — a per-DOC cost, not per-pair), the estimate evaluates in
+    # the join's output stage and the 30M flood collapses to ~5k rows
+    # before anything else shuffles. The estimate is a deterministic
+    # function of the pair, so filtering before dropDuplicates keeps
+    # exactly the pairs the old order kept.
     keys = staged.select(
         "doc",
+        "_sig",
         F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
     )
     hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
     keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
     a, b = keys.alias("a"), keys.alias("b")
-    cands = (
-        a.join(b, on="block_key")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    # tier 1: signature-estimated jaccard as a prune-only filter; keep
-    # everything within ~2 sigma of the threshold
-    s1 = staged.select(F.col("doc").alias("id1"), F.col("_sig").alias("sig1"))
-    s2 = staged.select(F.col("doc").alias("id2"), F.col("_sig").alias("sig2"))
-    # JVM-side estimator (zip_with agreement count): the prune runs
-    # inside the candidate join's codegen stage — no Arrow hop for
-    # 2 x num_hashes longs per candidate pair (parity with the UDF
-    # estimator pinned in tests)
-    est_col = minhash_est_jaccard_expr(F.col("sig1"), F.col("sig2"), num_hashes)
+    # JVM-side estimator (zip_with agreement count) as a prune-only
+    # filter; keep everything within ~2 sigma of the threshold
+    est_col = minhash_est_jaccard_expr(F.col("a._sig"), F.col("b._sig"), num_hashes)
     t = jaccard_threshold
     slack = 2.0 * (t * (1 - t) / num_hashes) ** 0.5
     survivors = (
-        cands.join(s1, on="id1")
-        .join(s2, on="id2")
-        .select("id1", "id2", est_col.alias("est"))
-        .filter(F.col("est") >= t - slack)
-        .select("id1", "id2")
+        a.join(b, on="block_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(est_col >= t - slack)
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
     )
     # tier 2: exact jaccard over hashed shingles for every survivor
     sh = docs.select(
@@ -318,6 +332,21 @@ def winnow_dedup(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+@contextmanager
+def winnow_dedup_scoped(docs: DataFrame, **kwargs) -> Iterator[DataFrame]:
+    """winnow_dedup with deterministic cache cleanup (the analogue of
+    :func:`minhash_lsh_dedup_scoped`): materialize the yielded frame
+    INSIDE the block; the persisted fingerprint blocks are unpersisted
+    on exit (even on error), so repeated calls cannot accumulate cached
+    blocks for the session lifetime."""
+    handles: list[DataFrame] = []
+    try:
+        yield winnow_dedup(docs, persisted=handles, **kwargs)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -1277,7 +1277,9 @@ def mp4_sample_table(b: bytes | None) -> list[tuple[int, int, int, int, int]] | 
     """
     try:
         return _mp4_sample_table(b)
-    except (IndexError, ValueError, OverflowError):
+    except (IndexError, ValueError, OverflowError, MemoryError):
+        # MemoryError included: the 'None, never an OOM' contract must
+        # hold even if an allocation guard is ever bypassed
         return None
 
 
@@ -1369,6 +1371,13 @@ def _mp4_sample_table(b: bytes | None) -> list[tuple[int, int, int, int, int]] |
     for i, (first, spc) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
         reps = last - first + 1
+        # bound the run length by the chunk count BEFORE extending: a
+        # crafted next-entry first_chunk near 2^32 with spc == 0 slips
+        # past the byte-budget check (0 * reps > n is never true) and
+        # would allocate ~2^32 list entries; no valid run can cover
+        # more chunks than stco declares
+        if reps > len(offsets):
+            return None
         if reps > 0 and spc * reps > n:
             return None
         per_chunk.extend([spc] * reps)

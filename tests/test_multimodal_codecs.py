@@ -485,6 +485,17 @@ def test_mp4_sample_table_malformed_tables_yield_none_not_crash():
     b[i + 8 : i + 12] = (0x00FFFFFF).to_bytes(4, "big")
     assert mp4_sample_table(bytes(b)) is None
 
+    # stsc guard bypass (advisor finding): samples_per_chunk == 0 makes
+    # the byte-budget check (spc * reps > n) vacuous, so a crafted
+    # next-entry first_chunk near 2^32 drove a ~4-billion-entry list
+    # allocation (MemoryError escaping the None contract). The run
+    # length must be bounded by the declared chunk count instead.
+    b = bytearray(make_mp4_frames(6))  # seed 6: 2 chunks, 2-entry stsc
+    i = bytes(b).find(b"stsc")
+    b[i + 16 : i + 20] = (0).to_bytes(4, "big")  # entry 0 spc = 0
+    b[i + 24 : i + 28] = (0xFFFFFFF0).to_bytes(4, "big")  # entry 1 first_chunk
+    assert mp4_sample_table(bytes(b)) is None
+
 
 def test_jpeg_malformed_component_refs_yield_none_not_crash():
     # an SOS naming a component id SOF0 never declared (KeyError in
