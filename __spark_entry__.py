@@ -349,17 +349,18 @@ def _q_simhash_docs(spark, sf_dir):
 def _q_ivf_topk_exact(spark, sf_dir):
     # ANN scale path under the exact configuration: IVF-Flat probing
     # ALL cells — identical results to brute force (same oracle SQL as
-    # cosine_topk), but through the shuffled cell join that survives an
-    # unbounded query side at cluster scale. Pins the cell assignment /
-    # explode / join plumbing end-to-end, not just inside knn_impute.
+    # cosine_topk), through the salted grouped-GEMM shards that survive
+    # an unbounded query side at cluster scale (simsearch.ivf_topk
+    # drops the cell machinery when every cell would be probed — the
+    # assignment cannot change an all-cells result, so no centroids
+    # are trained; the approximate cell path keeps pytest coverage).
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = simsearch.train_centroids(e, n_centroids=8)
     out = simsearch.ivf_topk(
-        e.select("vec_id", "embedding"), queries, cents,
-        k=3, nprobe=len(cents), id_col="vec_id",
+        e.select("vec_id", "embedding"), queries, None,
+        k=3, nprobe=0, id_col="vec_id",
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"

@@ -37,13 +37,16 @@ def impute_field(
     string dictionary with vectors (preprocess.embed_unique joined back
     to values).
 
-    The kNN runs through the IVF cell join, NOT brute_force_topk: the
-    query side here is every record with a NULL field (~40% of the
-    corpus on the fixtures) — an unbounded population that must never
-    be broadcast. Both IVF sides shuffle on `cell`. ``nprobe`` defaults
-    to ALL cells, which is exact (identical results to brute force)
-    while keeping the scale-safe join shape; pass a smaller nprobe to
-    trade recall for a (n_centroids/nprobe)× smaller join at scale.
+    The kNN runs through the IVF grouped-GEMM plan, NOT
+    brute_force_topk: the query side here is every record with a NULL
+    field (~40% of the corpus on the fixtures) — an unbounded
+    population that must never be broadcast. Both sides shuffle on the
+    compact (cell, salt) key. ``nprobe`` defaults to ALL cells, which
+    is exact (identical results to brute force) through the salted
+    exact-GEMM shards — no centroids are trained in that mode, since
+    the cell assignment cannot change an all-cells result; pass a
+    smaller nprobe to trade recall for a (n_centroids/nprobe)× smaller
+    scoring volume at scale.
     """
     targets = records_wide.filter(
         F.col(field).isNull() & F.col("composite_vec").isNotNull()
@@ -53,13 +56,14 @@ def impute_field(
         F.col("hash").alias("vec_id"), F.col("value"), F.col("vector").alias("embedding")
     )
 
-    centroids = train_centroids(donors, n_centroids=n_centroids)
+    exact = nprobe is None or nprobe >= n_centroids
+    centroids = None if exact else train_centroids(donors, n_centroids=n_centroids)
     topk = ivf_topk(
         donors.select("vec_id", "embedding"),
         targets,
         centroids,
         k=k,
-        nprobe=len(centroids) if nprobe is None else nprobe,
+        nprobe=0 if exact else nprobe,
         id_col="vec_id",
         vec_col="embedding",
         query_id_col="query_id",

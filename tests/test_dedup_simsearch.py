@@ -201,6 +201,47 @@ def test_brute_force_topk_matches_numpy(vectors, spark):
         )
 
 
+def test_exact_gemm_topk_matches_brute_force(vectors):
+    # the grouped-GEMM plan (ivf_topk exact mode / exact_topk_gemm)
+    # must reproduce brute_force_topk row-for-row: same neighbors,
+    # same ranks, cosines equal to float noise — including boundary
+    # ties, which the salted local top-k must break by neighbor_id
+    # exactly like the global window does
+    queries = vectors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.brute_force_topk(vectors, queries, k=5)
+    gemm = simsearch.exact_topk_gemm(vectors, queries, k=5)
+    e = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in exact.collect()}
+    g = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in gemm.collect()}
+    assert e.keys() == g.keys()
+    for key in e:
+        assert e[key][0] == g[key][0], (key, e[key], g[key])
+        assert abs(e[key][1] - g[key][1]) < 1e-9
+
+
+def test_exact_gemm_topk_ties_zero_norms_and_string_ids(spark):
+    # duplicate vectors force exact cosine ties (broken by neighbor_id
+    # ASC — string ids, so UTF-8 byte order); a zero vector must score
+    # 0.0 (not NaN) on every pair, exactly like pair_cosine_expr
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [1.0, 0.0]),
+        ("d", [0.0, 1.0]), ("z", [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == "a").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.exact_topk_gemm(df, queries, k=4, n_salts=3)
+    got = [(r["neighbor_id"], r["rank"], r["cosine"]) for r in
+           sorted(out.collect(), key=lambda r: r["rank"])]
+    # ties b/c at cosine 1.0 in id order; then d (0.0) before z (0.0)
+    # by id; self pair 'a' excluded
+    assert [(n, k) for n, k, _ in got] == [("b", 1), ("c", 2), ("d", 3), ("z", 4)]
+    assert abs(got[0][2] - 1.0) < 1e-12 and abs(got[1][2] - 1.0) < 1e-12
+    assert got[2][2] == 0.0 and got[3][2] == 0.0
+
+
 def test_ivf_recall(vectors):
     cents = simsearch.train_centroids(vectors, n_centroids=4, sample_rows=200)
     queries = vectors.filter(F.col("vec_id") < 10).select(
