@@ -32,6 +32,7 @@ from entity_resolution_pipeline_v1_spark.functions.sketches import (
     winnow_fingerprint_udf,
 )
 from entity_resolution_pipeline_v1_spark.operators import dedup, simsearch
+from entity_resolution_pipeline_v1_spark.operators.util import ensure_parallelism
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -144,8 +145,11 @@ def _q_field_stats(spark, sf_dir):
 
 
 def _q_token_freq(spark, sf_dir):
-    # A1 + P4: token frequency dictionary with min-frequency filter
-    d = _t(spark, sf_dir, "documents")
+    # A1 + P4: token frequency dictionary with min-frequency filter.
+    # The regex tokenizer + explode + partial agg all run in the scan
+    # stage, which is ONE task on the single-row-group documents file —
+    # round-robin it first so tokenization uses every core.
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -394,7 +398,10 @@ def _q_winnow_docs(spark, sf_dir):
     # returned the array<long> column itself, which the driver's
     # pandas-based row canonicalizer cannot hash (CORRECTNESS_r04's one
     # red row: "unhashable type: 'list'")
-    d = _t(spark, sf_dir, "documents")
+    # round-robin the single-file scan first: the winnowing UDF costs
+    # ~200µs/doc and would otherwise run in ONE task (documents.parquet
+    # is one row group — measured 9.8s serial vs ~1s spread at sf1.0)
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", winnow_fingerprint_udf(F.col("text")).alias("fingerprints")
     ).select("doc_id", F.explode("fingerprints").alias("fingerprint"))
@@ -723,7 +730,10 @@ def _q_media_mp4_frames(spark, sf_dir):
         mp4_frames_udf,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # spread the synth+parse UDF chain (~65µs/doc) beyond the one-task
+    # single-row-group scan — same guard every per-row-expensive
+    # document query uses
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         make_mp4_frames_udf(F.col("doc_id").cast("long")).alias("payload"),

@@ -261,6 +261,17 @@ def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
     return text.map(fp)
 
 
+# Deterministic in fact, marked non-deterministic on purpose (guide
+# §4.4): every consumer explodes or size()-filters the fingerprint
+# array, and the optimizer duplicates a deterministic UDF under the
+# pushed-down generator precondition — worse, the duplicate lands
+# BELOW the parallelizing repartition, so one copy of the ~100µs/doc
+# sketch ran single-threaded (measured at sf1.0: 5.6s with the
+# duplicate vs 1.0s without). Non-determinism pins exactly one
+# evaluation exactly where it is placed.
+winnow_fingerprint_udf = winnow_fingerprint_udf.asNondeterministic()
+
+
 def simhash_band_keys(sim_col: Column | str, bands: int = 4) -> Column:
     """Split the 64-bit SimHash into `bands` bit-slices; near-dups
     (small Hamming distance) collide on at least one slice by

@@ -1523,6 +1523,13 @@ def make_mp4_frames_udf(seed: pd.Series) -> pd.Series:
     return pd.Series([make_mp4_frames(int(s)) for s in seed], dtype=object)
 
 
+# deterministic in fact; marked non-deterministic so the optimizer
+# cannot duplicate the synth+parse chain under the pushed-down explode
+# precondition (guide §4.4 — the round-5 media_mp4_frames plan carried
+# FOUR ArrowEvalPython nodes for its two UDFs)
+make_mp4_frames_udf = make_mp4_frames_udf.asNondeterministic()
+
+
 MP4_FRAMES_SCHEMA = T.ArrayType(
     T.StructType(
         [
@@ -1541,6 +1548,10 @@ def mp4_frames_udf(payload: pd.Series) -> pd.Series:
     """Frame index rows parsed out of real MP4 bytes
     (mp4_sample_table); NULL for non-MP4/truncated payloads."""
     return pd.Series([mp4_sample_table(b) for b in payload], dtype=object)
+
+
+# see make_mp4_frames_udf: single pinned evaluation under explode
+mp4_frames_udf = mp4_frames_udf.asNondeterministic()
 
 
 def make_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -1826,7 +1837,9 @@ def sample_frames(
                 "frame_content_id"
             ),
         )
-    sampler = _make_gif_frame_sampler(every_ms)
+    # non-deterministic marking = single pinned evaluation under the
+    # explode (guide §4.4), same as mp4_frames_udf
+    sampler = _make_gif_frame_sampler(every_ms).asNondeterministic()
     return media.select(
         "media_id", F.explode(sampler(F.col(payload_col))).alias("s")
     ).select(

@@ -164,7 +164,11 @@ def assign_cells(
             out.append([int(t) for t in top])
         return pd.Series(out)
 
-    return df.withColumn(out_col, cells(F.col(vec_col)))
+    # deterministic in fact; marked non-deterministic so the optimizer
+    # cannot duplicate the evaluation under a pushed-down explode/
+    # size() precondition (guide §4.4 — the round-5 plan evaluated
+    # cells() TWICE per side)
+    return df.withColumn(out_col, cells.asNondeterministic()(F.col(vec_col)))
 
 
 def _grouped_topk_gemm(

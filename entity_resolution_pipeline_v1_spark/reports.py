@@ -111,9 +111,16 @@ def cluster_statistics(labels: DataFrame) -> dict:
 
 def matches_per_entity(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
     """(record_id, n_matches): how many accepted match edges touch each
-    entity (A7, reference analysis.py 'most connected entities')."""
-    both = pairs.select(F.col(id1).alias("record_id")).unionAll(
-        pairs.select(F.col(id2).alias("record_id"))
+    entity (A7, reference analysis.py 'most connected entities').
+
+    Both endpoints come out of ONE pass over the pair frame
+    (explode of a 2-element array) instead of a union of two selects:
+    the union form plants the pairs subtree twice in the plan, so an
+    expensive upstream (a distinct over millions of candidate edges)
+    executes twice unless exchange reuse happens to fire. Same row
+    multiset either way."""
+    both = pairs.select(
+        F.explode(F.array(F.col(id1), F.col(id2))).alias("record_id")
     )
     return both.groupBy("record_id").count().withColumnRenamed("count", "n_matches")
 

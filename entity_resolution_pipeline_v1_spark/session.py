@@ -79,6 +79,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-parallelism FLOOR, derived from core count (not a byte
+        # constant): a 100-200MB single-file input splits into at most
+        # bytes/128MB tasks under the default maxPartitionBytes, so a
+        # 6M-row lineitem scan feeds its partial aggregates from 1-2
+        # tasks while 30 cores idle. minPartitionNum makes the planner
+        # shrink splits until the scan has at least `cpus` of them —
+        # a no-op at cluster scale where inputs already carry more
+        # splits than cores. (Splitting cannot cross parquet row-group
+        # boundaries; single-row-group files still need an explicit
+        # repartition — see operators/util.ensure_parallelism.)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         # shuffle/spill space: RAM-backed when /dev/shm is roomy (the
         # local analogue of the NVMe scratch a real cluster provisions
         # per executor — this host's root disk writes at ~370 MB/s and
