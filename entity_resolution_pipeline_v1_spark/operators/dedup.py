@@ -22,16 +22,19 @@ from __future__ import annotations
 from collections.abc import Iterator
 from contextlib import contextmanager
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import text as TX
 from ..functions.similarity import norm_expr, pair_cosine_expr, token_jaccard
 from ..functions.sketches import (
     hamming64,
     lsh_band_keys,
+    make_char_shingle_hash_udf,
     make_minhash_text_udf,
-    minhash_est_jaccard_expr,
     simhash_band_keys,
     simhash_udf,
     winnow_fingerprint_udf,
@@ -88,6 +91,95 @@ def minhash_candidates(
     )
 
 
+def _exact_est_min_agree(threshold: float, num_hashes: int) -> int:
+    """Smallest integer agreement count n with n/num_hashes >= threshold
+    under IEEE double arithmetic — derived by direct float comparison,
+    so `agree >= n` is EXACTLY equivalent to the expression filter
+    `agree/num_hashes >= threshold` (minhash_est_jaccard_expr) for
+    every possible integer agreement."""
+    n = int(np.ceil(threshold * num_hashes))
+    while n <= num_hashes and n / num_hashes < threshold:
+        n += 1
+    while n > 0 and (n - 1) / num_hashes >= threshold:
+        n -= 1
+    return n
+
+
+def _minhash_candidate_pairs(
+    keyed: DataFrame, num_hashes: int, est_threshold: float, max_block: int
+) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) surviving the signature-
+    estimate prune, generated per band bucket in numpy (guide §4.2).
+
+    ``keyed`` is (doc, _sig, block_key) — one row per (document, band
+    key). Rows shuffle once on block_key; each task walks its buckets
+    and computes the FULL pairwise signature-agreement matrix of a
+    bucket as 64 vectorized column-equality accumulations (uint8 —
+    bounded by num_hashes <= 255), emitting only pairs at or above the
+    integer agreement threshold. The join+expression form evaluated an
+    interpreted zip_with/aggregate per candidate ROW (~10µs × 30.7M
+    band collisions at sf1.0 = 10s of the query); here the same
+    arithmetic is ~64 byte-ops per pair at SIMD speed and only
+    survivors ever become rows.
+
+    The hot-key cap folds in for free: a bucket with more than
+    ``max_block`` members contributes nothing — exactly the semantics
+    of the old count+anti-join pass, without its extra aggregation
+    over the keyed frame. Per-task memory is bounded by the largest
+    admitted bucket: max_block² bytes for the agreement matrix (25MB
+    at the default 5000)."""
+    doc_type = keyed.schema["doc"].dataType
+    schema = T.StructType(
+        [T.StructField("id1", doc_type), T.StructField("id2", doc_type)]
+    )
+    min_agree = _exact_est_min_agree(est_threshold, num_hashes)
+
+    agg_dtype = np.uint8 if num_hashes <= 255 else np.uint16
+
+    def gen(batches):
+        batches = list(batches)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame({"id1": [], "id2": []})
+            return
+        pdf = pdf.sort_values(["block_key", "doc"], kind="stable", ignore_index=True)
+        key = pdf["block_key"].to_numpy()
+        doc = pdf["doc"].to_numpy()
+        sig = np.stack(pdf["_sig"].to_numpy()).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.r_[starts, len(key)]
+        out1, out2 = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            d = e - s
+            if d < 2 or d > max_block:
+                continue
+            block_sig = sig[s:e]
+            agree = np.zeros((d, d), dtype=agg_dtype)
+            for i in range(num_hashes):
+                col = block_sig[:, i]
+                agree += col[:, None] == col[None, :]
+            ok = np.triu(agree >= min_agree, 1)
+            ii, jj = np.nonzero(ok)
+            if len(ii):
+                docs_g = doc[s:e]  # ascending within the bucket
+                out1.append(docs_g[ii])
+                out2.append(docs_g[jj])
+        if out1:
+            yield pd.DataFrame(
+                {"id1": np.concatenate(out1), "id2": np.concatenate(out2)}
+            )
+        else:
+            yield pd.DataFrame({"id1": [], "id2": []})
+
+    return (
+        keyed.repartition("block_key")
+        .mapInPandas(gen, schema)
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -105,8 +197,8 @@ def minhash_lsh_dedup(
     shingle Jaccard, never the signature estimate.
 
     Two-tier verification keeps the expensive part off the flood path:
-      1. cheap signature-estimate PRUNE evaluated INSIDE the band
-         join's output stage (the signatures ride the band-key rows)
+      1. cheap signature-estimate PRUNE evaluated INSIDE the
+         per-bucket candidate generator (_minhash_candidate_pairs)
          drops candidate pairs whose estimated Jaccard is hopeless
          BEFORE any per-pair shuffle — LSH banding over-generates
          badly when the corpus is self-similar, and the flood must die
@@ -116,15 +208,14 @@ def minhash_lsh_dedup(
          strings) on every survivor.
 
     No driver actions and no broadcast hints in the plan: the
-    per-document sides (signatures, shingle arrays) join shuffled, and
-    AQE promotes them to broadcast at runtime when they fit under
-    spark.sql.autoBroadcastJoinThreshold. Signatures are persisted
-    MEMORY_AND_DISK (spill-safe) because the plan reads them three
-    times (hot-key count + both band-join sides); pass
-    ``persist_signatures=False`` to recompute instead — the right
-    trade when executor memory is the constraint. A caller that owns
-    the session should either pass ``persisted`` (a list the persisted
-    signature frame is appended to, to ``.unpersist()`` once the
+    candidate generator shuffles band-key rows once on the compact
+    key, the verify sides join shuffled, and AQE promotes small sides
+    to broadcast at runtime when they fit under
+    spark.sql.autoBroadcastJoinThreshold. ``persist_signatures``
+    caches the signature frame MEMORY_AND_DISK; since the candidate
+    generator reads it exactly once the cache only pays off for
+    callers that reuse the frame — pass ``persisted`` (a list the
+    persisted frame is appended to, to ``.unpersist()`` once the
     returned plan is materialized) or use
     :func:`minhash_lsh_dedup_scoped`, which unpersists
     deterministically on scope exit — repeated unmanaged calls
@@ -133,9 +224,10 @@ def minhash_lsh_dedup(
     ``max_block`` caps degenerate band keys the same way
     minhash_candidates does: a boilerplate-heavy shard (identical
     headers/footers) can put 10^5 docs in ONE band bucket -> 10^10
-    candidate rows before the estimate prune could run. Such keys are
-    anti-joined out; recall for their members is carried by their
-    other (num_bands - 1) band keys.
+    candidate rows before the estimate prune could run. Such buckets
+    contribute nothing (a group-size check inside the generator);
+    recall for their members is carried by their other
+    (num_bands - 1) band keys.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -156,47 +248,35 @@ def minhash_lsh_dedup(
     if persist_signatures:
         staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     # band keys CARRY the signature: the tier-1 estimate prune runs
-    # inside the band join itself, BEFORE any per-pair shuffle. The
-    # round-5 shape materialized the distinct candidate set first and
-    # joined the signatures back on — on a self-similar corpus banding
-    # over-generates catastrophically (measured at sf1.0: 30.3M distinct
-    # candidate pairs, of which tier 1 keeps 5,006), so the candidate
-    # dropDuplicates shuffled 30M pair rows and the two signature
-    # hydration joins ran over all of them: 61s of the 86s total. With
-    # the signatures riding the band keys (num_hashes longs per exploded
-    # key row — a per-DOC cost, not per-pair), the estimate evaluates in
-    # the join's output stage and the 30M flood collapses to ~5k rows
-    # before anything else shuffles. The estimate is a deterministic
-    # function of the pair, so filtering before dropDuplicates keeps
-    # exactly the pairs the old order kept.
-    keys = staged.select(
+    # inside the per-bucket candidate generator, BEFORE any per-pair
+    # shuffle. The round-5 shape materialized the distinct candidate
+    # set first and joined the signatures back on — on a self-similar
+    # corpus banding over-generates catastrophically (measured at
+    # sf1.0: 30.3M distinct candidate pairs, of which tier 1 keeps
+    # 5,006), so the candidate dropDuplicates shuffled 30M pair rows
+    # and the two signature hydration joins ran over all of them: 61s
+    # of the 86s total. _minhash_candidate_pairs walks each band
+    # bucket in numpy (agreement matrix = 64 vectorized column
+    # equalities), folds the hot-key cap into a group-size check, and
+    # emits only pairs whose integer agreement clears the exact float
+    # threshold — identical pair-by-pair to the expression filter
+    # `est >= t - slack` (see _exact_est_min_agree), applied before
+    # dropDuplicates (the estimate is pair-deterministic, so the
+    # surviving set is unchanged).
+    keyed = staged.select(
         "doc",
         "_sig",
         F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
     )
-    hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
-    keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
-    a, b = keys.alias("a"), keys.alias("b")
-    # JVM-side estimator (zip_with agreement count) as a prune-only
-    # filter; keep everything within ~2 sigma of the threshold
-    est_col = minhash_est_jaccard_expr(F.col("a._sig"), F.col("b._sig"), num_hashes)
     t = jaccard_threshold
     slack = 2.0 * (t * (1 - t) / num_hashes) ** 0.5
-    survivors = (
-        a.join(b, on="block_key")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .filter(est_col >= t - slack)
-        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    # tier 2: exact jaccard over hashed shingles for every survivor
-    sh = docs.select(
-        F.col(id_col),
-        F.transform(
-            TX.char_shingles(F.col(text_col), shingle_size),
-            lambda s: F.xxhash64(s),
-        ).alias("sh"),
-    )
+    survivors = _minhash_candidate_pairs(keyed, num_hashes, t - slack, max_block)
+    # tier 2: exact jaccard over hashed shingles for every survivor —
+    # shingle hashing vectorized in numpy (make_char_shingle_hash_udf),
+    # identical Jaccard values to the transform(char_shingles, xxhash64)
+    # expression it replaces (set comparison is hash-internal)
+    shu = make_char_shingle_hash_udf(shingle_size)
+    sh = docs.select(F.col(id_col), shu(F.col(text_col)).alias("sh"))
     l = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     r = sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     out = (

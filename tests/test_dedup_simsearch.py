@@ -66,6 +66,95 @@ def test_minhash_lsh_dedup_hot_block_cap(spark):
     assert not handles[0].storageLevel.useMemory
 
 
+def test_char_shingle_hash_udf_jaccard_matches_expression_form(spark):
+    # the numpy shingle hasher must yield the SAME Jaccard values as
+    # the transform(char_shingles, xxhash64) expression it replaced —
+    # including CJK (codepoint shingling, not bytes), short strings
+    # (single whole-string shingle) and NULLs
+    from entity_resolution_pipeline_v1_spark.functions import text as TX
+    from entity_resolution_pipeline_v1_spark.functions.sketches import (
+        make_char_shingle_hash_udf,
+    )
+    from entity_resolution_pipeline_v1_spark.functions.similarity import token_jaccard
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "一二三四五六七八九十一二三四五"),
+        (3, "一二三四五六七八九十一二三四六"),
+        (4, "ab"),
+        (5, "ab"),
+        (6, None),
+        (7, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [(0, 1), (2, 3), (4, 5), (6, 0), (0, 7)]
+    pdf = spark.createDataFrame(pairs, "id1 long, id2 long")
+
+    def jaccards(sh_frame):
+        l = sh_frame.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+        r = sh_frame.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+        out = pdf.join(l, "id1").join(r, "id2").select(
+            "id1", "id2", token_jaccard("sh1", "sh2").alias("j"))
+        return {(x["id1"], x["id2"]): x["j"] for x in out.collect()}
+
+    expr_sh = docs.select(
+        "doc_id",
+        F.transform(TX.char_shingles(F.col("text"), 5), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    np_sh = docs.select("doc_id", make_char_shingle_hash_udf(5)(F.col("text")).alias("sh"))
+    je, jn = jaccards(expr_sh), jaccards(np_sh)
+    assert je.keys() == jn.keys()
+    for k in je:
+        assert abs(je[k] - jn[k]) < 1e-12, (k, je[k], jn[k])
+    assert jn[(2, 3)] > 0  # CJK pair really shares codepoint shingles
+    assert jn[(4, 5)] == 1.0  # single whole-string shingle, identical
+
+
+def test_minhash_candidate_generator_matches_join_form(docs, spark):
+    # the per-bucket numpy candidate generator must emit exactly the
+    # pairs the band-join + inline-estimate filter emitted
+    from pyspark.storagelevel import StorageLevel
+
+    from entity_resolution_pipeline_v1_spark.functions.sketches import (
+        lsh_band_keys,
+        make_minhash_text_udf,
+        minhash_est_jaccard_expr,
+    )
+    from entity_resolution_pipeline_v1_spark.operators.dedup import (
+        _minhash_candidate_pairs,
+    )
+
+    num_hashes, bands, tj = 64, 16, 0.5
+    mh = make_minhash_text_udf(num_hashes, 5)
+    staged = docs.select(
+        F.col("doc_id").alias("doc"), mh(F.col("text")).alias("_sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = staged.select(
+        "doc", "_sig",
+        F.explode(lsh_band_keys(F.col("_sig"), num_hashes, bands)).alias("block_key"),
+    )
+    slack = 2.0 * (tj * (1 - tj) / num_hashes) ** 0.5
+    got = {
+        (r["id1"], r["id2"])
+        for r in _minhash_candidate_pairs(keyed, num_hashes, tj - slack, 5000).collect()
+    }
+    a, b = keyed.alias("a"), keyed.alias("b")
+    est = minhash_est_jaccard_expr(F.col("a._sig"), F.col("b._sig"), num_hashes)
+    ref = {
+        (r["id1"], r["id2"])
+        for r in (
+            a.join(b, on="block_key")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .filter(est >= tj - slack)
+            .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+            .dropDuplicates(["id1", "id2"])
+        ).collect()
+    }
+    staged.unpersist()
+    assert got == ref and got
+
+
 def test_simhash_dedup(docs):
     pairs = dedup.simhash_dedup(docs, max_hamming=8)
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
