@@ -431,6 +431,40 @@ def hyperplane_bucket_expr(vec_col, n_planes: int, dim: int):
     return bucket
 
 
+def _hyperplane_bucket_udf(n_planes: int, dim: int):
+    """Arrow-batched twin of :func:`hyperplane_bucket_expr` — the SAME
+    integer arithmetic (floor(float64(v)*1000) as int64, closed-form
+    coefficients, sign bit per plane), so buckets are bit-identical to
+    the expression form (pinned by test_hyperplane_bucket_matches_numpy
+    for the expr and test_lsh_bucket_udf_matches_expr for this). The
+    expression form stays as the SQL-oracle-shaped reference; the
+    operator uses this because the unrolled expression costs ~1s of
+    driver-side PLANNING per query (8 planes × dim-element literal
+    zip_with trees) plus an interpreted per-row fold, where one numpy
+    matmul per batch does the same work."""
+    C = np.array(
+        [[_plane_coeff(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.int64,
+    ).reshape(n_planes, dim)  # explicit: n_planes=0 must still be 2-D
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        out = np.zeros(len(v), dtype=np.int64)
+        mask = v.notna()
+        if mask.any():
+            X = np.stack(v[mask].to_numpy()).astype(np.float64)
+            Q = np.floor(X * 1000.0).astype(np.int64)  # quantized, exact
+            dots = Q @ C.T  # (rows, planes), int64 — no overflow at these magnitudes
+            out[mask.to_numpy()] = ((dots >= 0) * weights).sum(axis=1)
+        return pd.Series(out)
+
+    # non-deterministic marking pins a single evaluation (guide §4.4);
+    # the query side references the bucket n_planes+1 times in its
+    # multi-probe array
+    return bucket.asNondeterministic()
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -464,15 +498,16 @@ def lsh_topk(
     if dim is None:
         dim = _probe_dim(corpus, vec_col)
     corpus = _ensure_parallelism(corpus)
+    bucket_of = _hyperplane_bucket_udf(n_planes, dim)
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
         .withColumn("_cn", norm_expr("_cv"))
-        .withColumn("bucket", hyperplane_bucket_expr("_cv", n_planes, dim))
+        .withColumn("bucket", bucket_of(F.col("_cv")))
     )
     q = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
         .withColumn("_qn", norm_expr("_qv"))
-        .withColumn("_qb", hyperplane_bucket_expr("_qv", n_planes, dim))
+        .withColumn("_qb", bucket_of(F.col("_qv")))
     )
     probes = [F.col("_qb")]
     if hamming_radius >= 1:

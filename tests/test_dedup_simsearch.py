@@ -392,6 +392,33 @@ def test_hyperplane_bucket_matches_numpy(vectors):
         assert got[row["vec_id"]] == want
 
 
+def test_lsh_bucket_udf_matches_expr(vectors):
+    # the Arrow bucket assignment must be bit-identical to the
+    # SQL-oracle-shaped expression form (same quantized integer dots)
+    from pyspark.sql import types as T
+
+    expr_b = vectors.select(
+        "vec_id", simsearch.hyperplane_bucket_expr("embedding", 8, 16).alias("b")
+    )
+    udf_b = vectors.select(
+        "vec_id", simsearch._hyperplane_bucket_udf(8, 16)(F.col("embedding")).alias("b")
+    )
+    e = {r["vec_id"]: r["b"] for r in expr_b.collect()}
+    u = {r["vec_id"]: r["b"] for r in udf_b.collect()}
+    assert e == u
+    # NULL vector -> bucket 0 on both forms
+    df = vectors.sparkSession.createDataFrame(
+        [(0, None)], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+    )
+    assert df.select(simsearch.hyperplane_bucket_expr("embedding", 8, 16).alias("b")
+                     ).collect()[0]["b"] == 0
+    assert df.select(simsearch._hyperplane_bucket_udf(8, 16)(F.col("embedding")).alias("b")
+                     ).collect()[0]["b"] == 0
+
+
 def test_lsh_topk_rejects_bad_radius(vectors):
     queries = vectors.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError):
