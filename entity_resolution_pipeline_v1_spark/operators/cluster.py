@@ -20,9 +20,15 @@ from pyspark.sql import functions as F
 
 
 def _bidirect(edges: DataFrame) -> DataFrame:
+    """Both directions of an ORIENTED, DISTINCT edge set. No distinct
+    of its own: every caller feeds edges with src != dst oriented one
+    way (the loop's per-round output ends in distinct over
+    (least, greatest)-style pairs), so fwd and rev are disjoint and
+    already duplicate-free — the old .distinct() here was a full extra
+    exchange+aggregate per CC round that could never remove a row."""
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-    return fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+    return fwd.unionByName(rev).filter(F.col("u") != F.col("v"))
 
 
 def _large_star(nbrs: DataFrame) -> DataFrame:
