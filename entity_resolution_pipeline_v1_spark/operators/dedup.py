@@ -164,11 +164,24 @@ def _minhash_candidate_pairs(
         #    materializing d²-sized index vectors.
         SMALL = 64
         small = okg & (sizes <= SMALL)
-        g_start = bounds[:-1][small].astype(np.int64)
-        g_size = sizes[small].astype(np.int64)
-        npairs = g_size * (g_size - 1) // 2
-        total = int(npairs.sum())
-        if total:
+        g_start_all = bounds[:-1][small].astype(np.int64)
+        g_np_all = (sizes[small].astype(np.int64) * (sizes[small].astype(np.int64) - 1)) // 2
+        # bucket-slice the enumeration so the per-slice index arrays
+        # stay constant-size no matter how many small buckets a bigger
+        # corpus packs into one partition
+        cum = np.cumsum(g_np_all)
+        slice_bounds = [0]
+        for cap in range(2_000_000, int(cum[-1]) if len(cum) else 0, 2_000_000):
+            slice_bounds.append(int(np.searchsorted(cum, cap, side="right")))
+        slice_bounds.append(len(g_np_all))
+        for s0, s1 in zip(slice_bounds[:-1], slice_bounds[1:]):
+            if s1 <= s0:
+                continue
+            g_start = g_start_all[s0:s1]
+            npairs = g_np_all[s0:s1]
+            total = int(npairs.sum())
+            if total == 0:
+                continue
             # pair id t within its bucket decodes to local (a, b) via
             # the triangular-number inverse b = floor((1+sqrt(1+8t))/2),
             # with integer guards against sqrt rounding

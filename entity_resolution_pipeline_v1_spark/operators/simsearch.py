@@ -217,6 +217,13 @@ def _grouped_topk_gemm(
         ]
     )
 
+    # per-task memory bound: the cosine block is computed in query-row
+    # chunks of at most ~64MB of float64 (a driver-escalated scale
+    # factor grows BOTH sides; an unchunked nq × nd block would grow
+    # quadratically with corpus size). Chunking queries is free for
+    # correctness: each query's top-k depends only on its own row.
+    _BLOCK_BYTES = 64 << 20
+
     def topk_block(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
@@ -231,35 +238,45 @@ def _grouped_topk_gemm(
             order = np.argsort(nid, kind="stable")
         nid = nid[order]
         D = np.stack(r["_v"].to_numpy()[order]).astype(np.float64)
-        Q = np.stack(l["_v"].to_numpy()).astype(np.float64)
         dn = np.linalg.norm(D, axis=1)
-        qn = np.linalg.norm(Q, axis=1)
-        C = Q @ D.T
-        denom = np.outer(qn, dn)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            C = np.where(denom > 0, C / denom, 0.0)
-        # self-pair exclusion: the old plan's join condition
-        # NOT (cast(query_id as string) = cast(neighbor_id as string))
-        qs = np.array([str(x) for x in l[query_id_col]], dtype=object)
         ns = np.array([str(x) for x in nid], dtype=object)
-        C[qs[:, None] == ns[None, :]] = -np.inf
-        nq, nd = C.shape
+        nd = len(nid)
         kk = min(k, nd)
-        # full stable argsort (not argpartition): boundary TIES must
-        # keep the smallest neighbor_id, and stable sort over the
-        # pre-ordered donor axis guarantees it
-        top = np.argsort(-C, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(nq), kk)
-        cols = top.ravel()
-        cos = C[rows, cols]
-        keep = cos != -np.inf
-        return pd.DataFrame(
-            {
-                query_id_col: l[query_id_col].to_numpy()[rows[keep]],
-                "neighbor_id": nid[cols[keep]],
-                "cosine": cos[keep],
-            }
-        )
+        qid_all = l[query_id_col].to_numpy()
+        qv_all = l["_v"].to_numpy()
+        qrows = max(1, _BLOCK_BYTES // (nd * 8))
+        parts = []
+        for q0 in range(0, len(l), qrows):
+            q1 = min(q0 + qrows, len(l))
+            Q = np.stack(qv_all[q0:q1]).astype(np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            C = Q @ D.T
+            denom = np.outer(qn, dn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, C / denom, 0.0)
+            # self-pair exclusion: the old plan's join condition
+            # NOT (cast(query_id as string) = cast(neighbor_id as string))
+            qs = np.array([str(x) for x in qid_all[q0:q1]], dtype=object)
+            C[qs[:, None] == ns[None, :]] = -np.inf
+            nq = q1 - q0
+            # full stable argsort (not argpartition): boundary TIES
+            # must keep the smallest neighbor_id, and stable sort over
+            # the pre-ordered donor axis guarantees it
+            top = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cols = top.ravel()
+            cos = C[rows, cols]
+            keep = cos != -np.inf
+            parts.append(
+                pd.DataFrame(
+                    {
+                        query_id_col: qid_all[q0:q1][rows[keep]],
+                        "neighbor_id": nid[cols[keep]],
+                        "cosine": cos[keep],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     local = (
         queries_keyed.groupby(*group_cols)
