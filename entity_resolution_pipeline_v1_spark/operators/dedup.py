@@ -240,7 +240,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
-    persist_signatures: bool = True,
+    persist_signatures: bool = False,
     max_block: int = 5000,
     persisted: list | None = None,
 ) -> DataFrame:
@@ -264,14 +264,16 @@ def minhash_lsh_dedup(
     key, the verify sides join shuffled, and AQE promotes small sides
     to broadcast at runtime when they fit under
     spark.sql.autoBroadcastJoinThreshold. ``persist_signatures``
-    caches the signature frame MEMORY_AND_DISK; since the candidate
-    generator reads it exactly once the cache only pays off for
-    callers that reuse the frame — pass ``persisted`` (a list the
-    persisted frame is appended to, to ``.unpersist()`` once the
-    returned plan is materialized) or use
-    :func:`minhash_lsh_dedup_scoped`, which unpersists
-    deterministically on scope exit — repeated unmanaged calls
-    accumulate cached blocks for the session lifetime.
+    (default OFF since the round-6 rewrite: the candidate generator
+    reads the signature frame exactly once, so a cache would cost a
+    full materialization write for zero plan reuse) caches the frame
+    MEMORY_AND_DISK for callers that DO reuse it — pass ``persisted``
+    (a list the persisted frame is appended to, to ``.unpersist()``
+    once the returned plan is materialized) or use
+    :func:`minhash_lsh_dedup_scoped`, which enables the cache and
+    unpersists deterministically on scope exit — repeated unmanaged
+    persisting calls accumulate cached blocks for the session
+    lifetime.
 
     ``max_block`` caps degenerate band keys the same way
     minhash_candidates does: a boilerplate-heavy shard (identical
@@ -346,17 +348,25 @@ def minhash_lsh_dedup(
 
 
 @contextmanager
-def minhash_lsh_dedup_scoped(docs: DataFrame, **kwargs) -> Iterator[DataFrame]:
-    """minhash_lsh_dedup with deterministic cache cleanup: materialize
-    the yielded frame INSIDE the block; the persisted signature blocks
-    are unpersisted on exit (even on error), so repeated calls cannot
-    accumulate cached blocks for the session lifetime."""
+def _scoped_dedup(dedup_fn, docs: DataFrame, kwargs: dict) -> Iterator[DataFrame]:
+    """Shared deterministic-cache-cleanup wrapper for the *_scoped
+    dedup variants: materialize the yielded frame INSIDE the block;
+    whatever frames the wrapped operator persisted are unpersisted on
+    exit (even on error), so repeated calls cannot accumulate cached
+    blocks for the session lifetime."""
     handles: list[DataFrame] = []
     try:
-        yield minhash_lsh_dedup(docs, persisted=handles, **kwargs)
+        yield dedup_fn(docs, persisted=handles, **kwargs)
     finally:
         for h in handles:
             h.unpersist()
+
+
+def minhash_lsh_dedup_scoped(docs: DataFrame, **kwargs):
+    """minhash_lsh_dedup with the signature cache ON and deterministic
+    cleanup on scope exit (see _scoped_dedup)."""
+    kwargs.setdefault("persist_signatures", True)
+    return _scoped_dedup(minhash_lsh_dedup, docs, kwargs)
 
 
 def simhash_dedup(
@@ -466,19 +476,12 @@ def winnow_dedup(
     )
 
 
-@contextmanager
-def winnow_dedup_scoped(docs: DataFrame, **kwargs) -> Iterator[DataFrame]:
-    """winnow_dedup with deterministic cache cleanup (the analogue of
-    :func:`minhash_lsh_dedup_scoped`): materialize the yielded frame
-    INSIDE the block; the persisted fingerprint blocks are unpersisted
-    on exit (even on error), so repeated calls cannot accumulate cached
-    blocks for the session lifetime."""
-    handles: list[DataFrame] = []
-    try:
-        yield winnow_dedup(docs, persisted=handles, **kwargs)
-    finally:
-        for h in handles:
-            h.unpersist()
+def winnow_dedup_scoped(docs: DataFrame, **kwargs):
+    """winnow_dedup with deterministic cache cleanup on scope exit
+    (the analogue of :func:`minhash_lsh_dedup_scoped`; the fingerprint
+    frame is read three times by the plan, so its persist stays on by
+    default there). See _scoped_dedup."""
+    return _scoped_dedup(winnow_dedup, docs, kwargs)
 
 
 def ngram_jaccard_pairs(

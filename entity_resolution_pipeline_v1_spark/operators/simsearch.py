@@ -224,9 +224,38 @@ def _grouped_topk_gemm(
     # correctness: each query's top-k depends only on its own row.
     _BLOCK_BYTES = 64 << 20
 
+    def _clean_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(keep_mask, matrix) for an object array of per-row vectors:
+        rows whose length differs from the group's modal length or
+        that carry non-finite elements are EXCLUDED from scoring —
+        deterministic and crash-free where np.stack would raise on
+        ragged rows and a NaN cosine would outrank every real one
+        under the window's DESC ordering (dirty-web-data posture; the
+        fixtures contain no such rows, verified output-identical)."""
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+        dim = int(np.bincount(lens).argmax()) if len(lens) else 0
+        keep = lens == dim
+        if not keep.any():
+            return keep, np.zeros((0, max(dim, 1)), dtype=np.float64)
+        M = np.stack(vals[keep]).astype(np.float64)
+        finite = np.isfinite(M).all(axis=1)
+        if not finite.all():
+            keep[np.flatnonzero(keep)[~finite]] = False
+            M = M[finite]
+        return keep, M
+
     def topk_block(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
         if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
+            return empty
+        rkeep, _ = _clean_matrix(r["_v"].to_numpy())
+        if not rkeep.all():
+            r = r[rkeep].reset_index(drop=True)
+        lkeep, _ = _clean_matrix(l["_v"].to_numpy())
+        if not lkeep.all():
+            l = l[lkeep].reset_index(drop=True)
+        if len(l) == 0 or len(r) == 0:
+            return empty
         nid = r["neighbor_id"].to_numpy()
         # donor order = the global tie-break order (neighbor_id ASC;
         # UTF-8 bytes for strings == Spark's UTF8String comparison)
@@ -374,6 +403,10 @@ def ivf_topk(
     # enough (cell, salt) groups to fill the cores even when probes
     # concentrate on few cells
     S = n_salts or max(1, -(-par // max(1, len(centroids))) * 2)
+    # spread the per-row cell assignment beyond a single-file scan's
+    # task count (assign_cells loops rows in Python; a one-row-group
+    # corpus would run it serially)
+    corpus = _ensure_parallelism(corpus)
     c = (
         assign_cells(
             corpus.filter(F.col(vec_col).isNotNull()), centroids, vec_col, "cell", nprobe=1
@@ -468,12 +501,24 @@ def _hyperplane_bucket_udf(n_planes: int, dim: int):
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
         out = np.zeros(len(v), dtype=np.int64)
-        mask = v.notna()
+        # NULL vectors, ragged lengths and non-finite elements all get
+        # bucket 0 — the expression form's behavior (a null-poisoned
+        # dot fails every `dot >= 0` test, leaving every sign bit 0),
+        # where a raw np.stack would raise on ragged rows and floor(NaN)
+        # would cast to an undefined integer
+        vals = v.to_numpy()
+        mask = np.fromiter(
+            (x is not None and len(x) == dim for x in vals), dtype=bool, count=len(vals)
+        )
         if mask.any():
-            X = np.stack(v[mask].to_numpy()).astype(np.float64)
+            X = np.stack(vals[mask]).astype(np.float64)
+            good = np.isfinite(X).all(axis=1)
+            if not good.all():
+                mask[np.flatnonzero(mask)[~good]] = False
+                X = X[good]
             Q = np.floor(X * 1000.0).astype(np.int64)  # quantized, exact
             dots = Q @ C.T  # (rows, planes), int64 — no overflow at these magnitudes
-            out[mask.to_numpy()] = ((dots >= 0) * weights).sum(axis=1)
+            out[mask] = ((dots >= 0) * weights).sum(axis=1)
         return pd.Series(out)
 
     # non-deterministic marking pins a single evaluation (guide §4.4);

@@ -56,7 +56,8 @@ def test_minhash_lsh_dedup_hot_block_cap(spark):
     # explicit handle-list API unpersists what it says it persisted
     handles: list = []
     uncapped = dedup.minhash_lsh_dedup(
-        docs, jaccard_threshold=0.5, max_block=5000, persisted=handles
+        docs, jaccard_threshold=0.5, max_block=5000,
+        persist_signatures=True, persisted=handles,
     )
     got2 = {(r["id1"], r["id2"]) for r in uncapped.collect()}
     assert (0, 1) in got2
@@ -329,6 +330,40 @@ def test_exact_gemm_topk_ties_zero_norms_and_string_ids(spark):
     assert [(n, k) for n, k, _ in got] == [("b", 1), ("c", 2), ("d", 3), ("z", 4)]
     assert abs(got[0][2] - 1.0) < 1e-12 and abs(got[1][2] - 1.0) < 1e-12
     assert got[2][2] == 0.0 and got[3][2] == 0.0
+
+
+def test_exact_gemm_topk_survives_dirty_vectors(spark):
+    # web-scale posture: ragged lengths and NaN/null elements must not
+    # crash the GEMM task or rank garbage first — dirty rows are
+    # excluded from scoring (clean rows keep exact results)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]),
+        ("ragged", [1.0, 0.0, 0.5]),
+        ("nullelem", [1.0, None]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    queries = df.filter(F.col("vec_id") == "a").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = simsearch.exact_topk_gemm(df, queries, k=3, n_salts=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           sorted(out.collect(), key=lambda r: r["rank"])]
+    assert [n for n, _ in got] == ["b", "c"]  # dirty rows absent, order exact
+    # bucket UDF: dirty rows get bucket 0 (the expression form's
+    # null-poisoned-dot behavior), clean rows match the expression
+    b = df.select("vec_id", simsearch._hyperplane_bucket_udf(4, 2)(F.col("embedding")).alias("b"))
+    vals = {r["vec_id"]: r["b"] for r in b.collect()}
+    assert vals["ragged"] == 0 and vals["nullelem"] == 0 and vals["empty"] == 0
+    e = df.filter(F.col("vec_id").isin("a", "b", "c")).select(
+        "vec_id", simsearch.hyperplane_bucket_expr("embedding", 4, 2).alias("b"))
+    for r in e.collect():
+        assert vals[r["vec_id"]] == r["b"]
 
 
 def test_ivf_recall(vectors):
