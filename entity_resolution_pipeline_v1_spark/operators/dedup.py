@@ -232,6 +232,128 @@ def _minhash_candidate_pairs(
     )
 
 
+def _winnow_verify_pairs(
+    keyed: DataFrame, max_block: int, threshold: float
+) -> DataFrame:
+    """Fused candidate generation + exact fingerprint-Jaccard verify
+    for inverted-index (winnowing) blocking, one bucket at a time in
+    numpy: emits only (id1 < id2, jaccard) rows that CLEAR the
+    threshold — the candidate flood never becomes Spark rows at all.
+
+    ``keyed`` is (doc, fp, block_key): one posting row per (document,
+    selected fingerprint), CARRYING the document's full fingerprint
+    array (winnowing arrays are distinct+sorted per doc). Rows shuffle
+    once on the compact key; each task walks its buckets:
+
+      * a bucket over ``max_block`` posting rows contributes nothing
+        (posting rows == distinct docs here, so this is exactly the
+        old hot-key count()+anti-join cap);
+      * a 2-doc bucket verifies with one sorted-array intersect;
+      * a larger bucket builds a docs × distinct-fingerprint presence
+        matrix and computes ALL pairwise intersection counts as one
+        column-chunked GEMM (C += Mc @ Mc.T) — ~L float32 FMAs per
+        pair at BLAS speed instead of a per-pair array_intersect
+        expression after two hydration joins over the candidate flood.
+        Column chunks bound the presence matrix at ~16MB; the count
+        matrix itself is bounded by max_block² (float32 counts are
+        exact below 2^24, far above any fingerprint array length).
+
+    Union sizes come from the full arrays, so jaccard is the same
+    integer ratio token_jaccard computes (|A∩B| / (|A|+|B|-|A∩B|)),
+    evaluated in float64 — bit-identical division. Why this beats the
+    join form when the corpus is self-similar (measured at sf0.1:
+    285.7M in-bucket pair rows → 12.49M distinct candidates → a few
+    hundred survivors): the old shape shuffled the flood once to
+    dedupe it and hydrated two 85-element arrays per surviving
+    candidate through joins, 130s of which ~83s was candidate
+    generation alone; here the per-pair work happens where the bucket
+    already is, and only survivors (output rows, inherently bounded by
+    the result) are ever serialized."""
+    doc_type = keyed.schema["doc"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id1", doc_type),
+            T.StructField("id2", doc_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        batches = list(batches)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame({"id1": [], "id2": [], "jaccard": []})
+            return
+        pdf = pdf.sort_values(["block_key", "doc"], kind="stable", ignore_index=True)
+        key = pdf["block_key"].to_numpy()
+        doc = pdf["doc"].to_numpy()
+        fp = pdf["fp"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.r_[starts, len(key)]
+        sizes = np.diff(bounds)
+        okg = (sizes >= 2) & (sizes <= max_block)
+        out1, out2, outj = [], [], []
+        for s, e in zip(bounds[:-1][okg], bounds[1:][okg]):
+            d = int(e - s)
+            arrs = [np.asarray(fp[i], dtype=np.int64) for i in range(s, e)]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            docs_g = doc[s:e]
+            if d == 2:
+                c = float(np.intersect1d(arrs[0], arrs[1], assume_unique=True).size)
+                jac = c / float(lens[0] + lens[1] - c)
+                if jac >= threshold:
+                    out1.append(docs_g[:1])
+                    out2.append(docs_g[1:])
+                    outj.append(np.array([jac]))
+                continue
+            flat = np.concatenate(arrs)
+            row = np.repeat(np.arange(d), lens)
+            _, col = np.unique(flat, return_inverse=True)
+            n_u = int(col.max()) + 1
+            order = np.argsort(col, kind="stable")
+            cs = col[order]
+            rs = row[order]
+            C = np.zeros((d, d), dtype=np.float32)
+            chunk = max(256, (4 << 20) // max(d, 1))
+            for c0 in range(0, n_u, chunk):
+                c1 = min(c0 + chunk, n_u)
+                lo, hi = np.searchsorted(cs, [c0, c1])
+                Mc = np.zeros((d, c1 - c0), dtype=np.float32)
+                Mc[rs[lo:hi], cs[lo:hi] - c0] = 1.0
+                C += Mc @ Mc.T
+            sz = lens.astype(np.float64)
+            # row-chunk the float64 jaccard/threshold pass so the
+            # temporary stays bounded even at d == max_block
+            for r0 in range(0, d, 1024):
+                r1 = min(r0 + 1024, d)
+                cnt = C[r0:r1].astype(np.float64)
+                jac = cnt / (sz[r0:r1, None] + sz[None, :] - cnt)
+                ii, jj = np.nonzero(jac >= threshold)
+                m = (ii + r0) < jj
+                if m.any():
+                    out1.append(docs_g[ii[m] + r0])
+                    out2.append(docs_g[jj[m]])
+                    outj.append(jac[ii[m], jj[m]])
+        if out1:
+            yield pd.DataFrame(
+                {
+                    "id1": np.concatenate(out1),
+                    "id2": np.concatenate(out2),
+                    "jaccard": np.concatenate(outj),
+                }
+            )
+        else:
+            yield pd.DataFrame({"id1": [], "id2": [], "jaccard": []})
+
+    return (
+        keyed.repartition("block_key")
+        .mapInPandas(gen, schema)
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -406,7 +528,7 @@ def winnow_dedup(
     jaccard_threshold: float = 0.5,
     max_block: int = 5000,
     key_sample_mod: int = 1,
-    persist_fingerprints: bool = True,
+    persist_fingerprints: bool = False,
     persisted: list | None = None,
 ) -> DataFrame:
     """Winnowing near-dup pairs — the third sketch-based dedup family
@@ -422,29 +544,39 @@ def winnow_dedup(
     hot-key capping. Verify: exact Jaccard over the full fingerprint
     arrays on candidates only.
 
-    100-TB shape, same machinery as minhash_lsh_dedup: compact long
-    keys shuffle (never text), ``max_block`` anti-joins out degenerate
-    fingerprints (boilerplate shared by 10^5 docs would emit 10^10
-    candidate rows from one bucket), the expensive verify runs on
-    candidates only, no driver actions, no forced broadcasts (the hot
-    list is a bounded aggregate, broadcast explicitly).
+    100-TB shape: compact long keys shuffle the posting rows once into
+    the fused per-bucket generator+verifier (_winnow_verify_pairs),
+    whose group-size check drops degenerate fingerprints over
+    ``max_block`` posting rows (boilerplate shared by 10^5 docs would
+    emit 10^10 candidate rows from one bucket); the in-bucket pair
+    flood is scored as per-bucket presence-matrix GEMMs and only
+    threshold survivors ever become rows — no driver actions, no
+    broadcasts, no per-pair hydration joins.
 
     ``key_sample_mod`` > 1 keeps only fingerprints ≡ 0 (mod m) as
     block keys (the standard "0 mod p" super-fingerprint selection) —
-    an m× candidate-volume reduction for corpus-scale runs; recall
-    then holds for pairs sharing ≥ 1 SELECTED fingerprint. The verify
-    always uses ALL fingerprints.
+    an m× candidate-volume reduction for corpus-scale runs (and an m×
+    cut of the array-carrying posting shuffle); recall then holds for
+    pairs sharing ≥ 1 SELECTED fingerprint. The verify always uses ALL
+    fingerprints (the posting rows carry the full array regardless of
+    sampling).
 
-    The fingerprint frame is read three times (block keys + both
-    verify sides); ``persist_fingerprints`` caches it MEMORY_AND_DISK
-    so the per-document Arrow sketching pass — the dominant cost —
-    runs once, not three times (the same three-read shape
-    minhash_lsh_dedup persists its signatures for). Pass ``persisted``
-    to receive the handle for deterministic unpersist after the
-    returned plan materializes.
+    ``persist_fingerprints`` (default OFF since the round-6 fused
+    rewrite: the fingerprint frame is read exactly once, so a cache
+    would cost a materialization for zero plan reuse) caches the frame
+    MEMORY_AND_DISK for callers that reuse it; pass ``persisted`` to
+    receive the handle for deterministic unpersist, or use
+    :func:`winnow_dedup_scoped`.
     """
     from pyspark.storagelevel import StorageLevel
 
+    from .util import ensure_parallelism
+
+    # spread the per-document Arrow fingerprinting: documents usually
+    # arrive as ONE parquet row group, and the winnowing UDF costs
+    # ~100-200µs/doc — without this the sketch pass runs in one task
+    # (same guard minhash_lsh_dedup carries)
+    docs = ensure_parallelism(docs)
     fps = docs.select(
         F.col(id_col).alias("doc"),
         winnow_fingerprint_udf(F.col(text_col)).alias("fp"),
@@ -453,34 +585,25 @@ def winnow_dedup(
         fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
         if persisted is not None:
             persisted.append(fps)
-    keys = fps.select("doc", F.explode("fp").alias("block_key"))
+    # posting rows CARRY the full fingerprint array into the bucket
+    # walker (round 6): candidate generation and the exact-Jaccard
+    # verify are fused in _winnow_verify_pairs, so the in-bucket pair
+    # flood — 285.7M rows at sf0.1, of which a few hundred survive the
+    # threshold — never shuffles, and the two fingerprint hydration
+    # joins of the old shape disappear with it. The sampled block-key
+    # selection filters POSTINGS only; the carried array (hence the
+    # verify) always uses ALL fingerprints, as before.
+    keyed = fps.select("doc", "fp", F.explode("fp").alias("block_key"))
     if key_sample_mod > 1:
-        keys = keys.filter(F.pmod(F.col("block_key"), F.lit(key_sample_mod)) == 0)
-    hot = keys.groupBy("block_key").count().filter(F.col("count") > max_block).select("block_key")
-    keys = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
-    a, b = keys.alias("a"), keys.alias("b")
-    cands = (
-        a.join(b, on="block_key")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    l = fps.select(F.col("doc").alias("id1"), F.col("fp").alias("fp1"))
-    r = fps.select(F.col("doc").alias("id2"), F.col("fp").alias("fp2"))
-    return (
-        cands.join(l, on="id1")
-        .join(r, on="id2")
-        .withColumn("jaccard", token_jaccard("fp1", "fp2"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id1", "id2", "jaccard")
-    )
+        keyed = keyed.filter(F.pmod(F.col("block_key"), F.lit(key_sample_mod)) == 0)
+    return _winnow_verify_pairs(keyed, max_block, jaccard_threshold)
 
 
 def winnow_dedup_scoped(docs: DataFrame, **kwargs):
-    """winnow_dedup with deterministic cache cleanup on scope exit
-    (the analogue of :func:`minhash_lsh_dedup_scoped`; the fingerprint
-    frame is read three times by the plan, so its persist stays on by
-    default there). See _scoped_dedup."""
+    """winnow_dedup with the fingerprint cache ON and deterministic
+    cleanup on scope exit (the analogue of
+    :func:`minhash_lsh_dedup_scoped`). See _scoped_dedup."""
+    kwargs.setdefault("persist_fingerprints", True)
     return _scoped_dedup(winnow_dedup, docs, kwargs)
 
 

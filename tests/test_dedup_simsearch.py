@@ -250,6 +250,81 @@ def test_winnow_dedup_hot_key_cap_and_sampling(spark):
         assert abs(j - full[k]) < 1e-12
 
 
+def test_winnow_fused_verify_matches_join_form(spark):
+    """The fused per-bucket GEMM generator+verifier must emit exactly
+    the (pair, jaccard) rows the old join shape emitted — hot-key
+    groupBy/anti-join cap, key self-join, dropDuplicates, fingerprint
+    hydration joins, token_jaccard filter — INCLUDING the capped
+    regime where the output legitimately differs from brute force
+    (boilerplate buckets over max_block contribute no candidates)."""
+    import random
+
+    from entity_resolution_pipeline_v1_spark.functions.sketches import (
+        winnow_fingerprint_udf,
+    )
+    from entity_resolution_pipeline_v1_spark.functions.similarity import token_jaccard
+
+    rng = random.Random(13)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    doc_id = 0
+    for _ in range(6):
+        base = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((doc_id, base)); doc_id += 1
+        for _ in range(2):
+            toks = base.split()
+            for _ in range(3):
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+            rows.append((doc_id, " ".join(toks))); doc_id += 1
+    # boilerplate block: 25 identical docs — every one of their
+    # fingerprints lands in a 25-member bucket, capped at max_block=10
+    boiler = "identical boilerplate header and footer repeated often " * 3
+    rows += [(1000 + i, boiler) for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thr, max_block = 0.3, 10
+
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.winnow_dedup(
+            docs, jaccard_threshold=thr, max_block=max_block
+        ).collect()
+    }
+
+    # the round-5 join shape, inline as reference
+    fps = docs.select(
+        F.col("doc_id").alias("doc"),
+        winnow_fingerprint_udf(F.col("text")).alias("fp"),
+    ).filter(F.size("fp") > 0).persist()
+    keys = fps.select("doc", F.explode("fp").alias("block_key"))
+    hot = keys.groupBy("block_key").count().filter(
+        F.col("count") > max_block).select("block_key")
+    kept = keys.join(F.broadcast(hot), on="block_key", how="left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cands = (
+        a.join(b, on="block_key")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    l = fps.select(F.col("doc").alias("id1"), F.col("fp").alias("fp1"))
+    r = fps.select(F.col("doc").alias("id2"), F.col("fp").alias("fp2"))
+    ref = {
+        (x["id1"], x["id2"]): x["jaccard"]
+        for x in (
+            cands.join(l, on="id1").join(r, on="id2")
+            .withColumn("jaccard", token_jaccard("fp1", "fp2"))
+            .filter(F.col("jaccard") >= thr)
+            .select("id1", "id2", "jaccard")
+        ).collect()
+    }
+    fps.unpersist()
+    assert set(got) == set(ref) and got
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
+    # the cap really bit: boilerplate pairs are absent
+    assert not any(i1 >= 1000 for i1, _ in got)
+
+
 def test_ngram_jaccard(docs, spark):
     cand = spark.createDataFrame([(1, 2), (1, 4)], "id1 long, id2 long")
     out = {(r["id1"], r["id2"]): r["ngram_jaccard"] for r in dedup.ngram_jaccard_pairs(docs, cand).collect()}
