@@ -645,23 +645,28 @@ def embedding_near_dup(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With a group/bucket column the
-    join is per-bucket (LSH-style); without it this is the O(n²)
-    verification baseline — only for modest n or post-LSH candidates.
-    Norms precompute per ROW before the self-join; the per-pair cosine
-    is the codegen'd unrolled dot (see pair_cosine_expr)."""
-    from .simsearch import _fused_dim, _probe_dim
+    join is per-bucket (LSH-style, per-pair expression cosine on the
+    bucket-bounded candidates); without it the exact O(n²) computation
+    runs through the sharded-GEMM plan (simsearch.
+    allpairs_threshold_gemm — same rows as the old crossJoin +
+    unrolled-dot shape, measured 39.2s → ~2s at sf0.1, verified
+    md5-identical at sf0.001/0.01/0.1)."""
+    from .simsearch import _fused_dim, _probe_dim, allpairs_threshold_gemm
 
+    if not group_col:
+        return allpairs_threshold_gemm(
+            embeddings, cosine_threshold, id_col=id_col, vec_col=vec_col
+        )
     if dim is None:
         dim = _probe_dim(embeddings, vec_col)
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    if group_col:
-        cols.append(F.col(group_col).alias("g"))
-    base = embeddings.select(*cols).withColumn("vn", norm_expr("v"))
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(group_col).alias("g"),
+    ).withColumn("vn", norm_expr("v"))
     a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    joined = a.join(b, on="g") if group_col else a.crossJoin(b)
     return (
-        joined.filter(cond)
+        a.join(b, on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),

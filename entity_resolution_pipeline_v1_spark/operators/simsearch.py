@@ -171,6 +171,43 @@ def assign_cells(
     return df.withColumn(out_col, cells.asNondeterministic()(F.col(vec_col)))
 
 
+def _clean_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(keep_mask, matrix) for an object array of per-row vectors:
+    rows whose length differs from the group's modal length or that
+    carry non-finite elements are EXCLUDED from scoring —
+    deterministic and crash-free where np.stack would raise on ragged
+    rows and a NaN cosine would outrank every real one under a DESC
+    ordering (dirty-web-data posture; the fixtures contain no such
+    rows, verified output-identical)."""
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    dim = int(np.bincount(lens).argmax()) if len(lens) else 0
+    keep = lens == dim
+    if not keep.any():
+        return keep, np.zeros((0, max(dim, 1)), dtype=np.float64)
+    M = np.stack(vals[keep]).astype(np.float64)
+    finite = np.isfinite(M).all(axis=1)
+    if not finite.all():
+        keep[np.flatnonzero(keep)[~finite]] = False
+        M = M[finite]
+    return keep, M
+
+
+def _id_rank_keys(lid: np.ndarray, rid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer rank codes for two id arrays under Spark's comparison
+    order (numeric order for numeric ids; UTF-8 byte order — identical
+    to UTF8String — for strings), so an `id1 < id2` orientation mask
+    can broadcast as one integer comparison instead of O(P×Q) Python
+    object comparisons."""
+    if lid.dtype == object or rid.dtype == object:
+        both = np.array(
+            [x.encode("utf-8") if isinstance(x, str) else x for x in np.concatenate([lid, rid])],
+            dtype=object,
+        )
+        _, codes = np.unique(both, return_inverse=True)
+        return codes[: len(lid)], codes[len(lid):]
+    return lid, rid
+
+
 def _grouped_topk_gemm(
     corpus_keyed: DataFrame,
     queries_keyed: DataFrame,
@@ -223,26 +260,6 @@ def _grouped_topk_gemm(
     # quadratically with corpus size). Chunking queries is free for
     # correctness: each query's top-k depends only on its own row.
     _BLOCK_BYTES = 64 << 20
-
-    def _clean_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(keep_mask, matrix) for an object array of per-row vectors:
-        rows whose length differs from the group's modal length or
-        that carry non-finite elements are EXCLUDED from scoring —
-        deterministic and crash-free where np.stack would raise on
-        ragged rows and a NaN cosine would outrank every real one
-        under the window's DESC ordering (dirty-web-data posture; the
-        fixtures contain no such rows, verified output-identical)."""
-        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
-        dim = int(np.bincount(lens).argmax()) if len(lens) else 0
-        keep = lens == dim
-        if not keep.any():
-            return keep, np.zeros((0, max(dim, 1)), dtype=np.float64)
-        M = np.stack(vals[keep]).astype(np.float64)
-        finite = np.isfinite(M).all(axis=1)
-        if not finite.all():
-            keep[np.flatnonzero(keep)[~finite]] = False
-            M = M[finite]
-        return keep, M
 
     def topk_block(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
@@ -360,6 +377,91 @@ def exact_topk_gemm(
         F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("_salt"),
     )
     return _grouped_topk_gemm(c, q, ["_salt"], k, id_col, query_id_col)
+
+
+def allpairs_threshold_gemm(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine near-dup (id1 < id2, cosine >= threshold) via
+    the sharded-GEMM plan — the exact O(n²) computation of
+    embedding_near_dup's ungrouped baseline at BLAS speed instead of a
+    crossJoin evaluating the unrolled per-pair expression dot
+    (measured at sf0.1 / 17k vectors: 39.2s expression crossJoin vs
+    ~2s here, identical rows).
+
+    Shape: the right side splits into ``n_salts`` deterministic xxhash
+    shards, the left side replicates to every shard, and each shard's
+    cogroup task computes its full cosine block as row-chunked
+    ``L @ R.T`` GEMMs. Each unordered pair is emitted at most once —
+    from the shard of its id-larger member, by the `id1 < id2` mask —
+    so no distinct pass is needed. Exactness matches
+    _grouped_topk_gemm's contract: float64 dot/(|a||b|), 0.0 on zero
+    norms (pair_cosine_expr's convention), ragged/non-finite rows
+    excluded, string ids ordered by UTF-8 bytes (UTF8String order)."""
+    spark = vectors.sparkSession
+    S = n_salts or spark.sparkContext.defaultParallelism or 16
+    id_field = next(f for f in vectors.schema.fields if f.name == id_col)
+    schema = T.StructType(
+        [
+            T.StructField("id1", id_field.dataType),
+            T.StructField("id2", id_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    base = vectors.filter(F.col(vec_col).isNotNull())
+    right = base.select(
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_v"),
+        _salt_expr(id_col, S).alias("_salt"),
+    )
+    left = base.select(
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("_salt"),
+    )
+    _BLOCK_BYTES = 64 << 20
+
+    def block(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        lkeep, L = _clean_matrix(l["_v"].to_numpy())
+        rkeep, R = _clean_matrix(r["_v"].to_numpy())
+        if not len(L) or not len(R):
+            return empty
+        lid = l["_lid"].to_numpy()[lkeep]
+        rid = r["_rid"].to_numpy()[rkeep]
+        lkey, rkey = _id_rank_keys(lid, rid)
+        ln = np.linalg.norm(L, axis=1)
+        rn = np.linalg.norm(R, axis=1)
+        nr = len(rid)
+        parts = []
+        lrows = max(1, _BLOCK_BYTES // (nr * 8))
+        for l0 in range(0, len(lid), lrows):
+            l1 = min(l0 + lrows, len(lid))
+            C = L[l0:l1] @ R.T
+            denom = np.outer(ln[l0:l1], rn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, C / denom, 0.0)
+            mask = (C >= threshold) & (lkey[l0:l1, None] < rkey[None, :])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                parts.append(
+                    pd.DataFrame(
+                        {"id1": lid[ii + l0], "id2": rid[jj], "cosine": C[ii, jj]}
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return (
+        left.groupby("_salt")
+        .cogroup(right.groupby("_salt"))
+        .applyInPandas(block, schema)
+    )
 
 
 def ivf_topk(

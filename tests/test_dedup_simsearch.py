@@ -544,3 +544,65 @@ def test_embedding_near_dup(spark):
     )
     out = {(r["id1"], r["id2"]) for r in dedup.embedding_near_dup(df, cosine_threshold=0.99).collect()}
     assert out == {(1, 2)}
+
+
+def test_embedding_near_dup_gemm_matches_expression_crossjoin(spark):
+    """The sharded-GEMM all-pairs path must emit the same (pair,
+    rounded cosine) rows as the old crossJoin + pair_cosine_expr shape
+    — including zero-norm vectors (cosine 0.0 by convention), NULL
+    vectors (excluded), threshold-boundary pairs, and string ids
+    (UTF-8 byte order for id1 < id2)."""
+    import random
+
+    from entity_resolution_pipeline_v1_spark.functions.similarity import (
+        norm_expr,
+        pair_cosine_expr,
+    )
+    from entity_resolution_pipeline_v1_spark.operators.simsearch import (
+        _fused_dim,
+        allpairs_threshold_gemm,
+    )
+
+    rng = random.Random(23)
+    dim = 8
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((f"id_{i:03d}", v))
+        if i % 7 == 0:  # planted near-dup
+            w = [x + rng.gauss(0, 0.01) for x in v]
+            rows.append((f"dup_{i:03d}", w))
+    rows.append(("zzz_zero", [0.0] * dim))
+    rows.append(("zzz_null", None))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    thr = 0.6
+
+    got = {
+        (r["id1"], r["id2"]): round(r["cosine"], 6)
+        for r in allpairs_threshold_gemm(df, thr, id_col="vec_id").collect()
+    }
+
+    base = df.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).withColumn("vn", norm_expr("v"))
+    a, b = base.alias("a"), base.alias("b")
+    ref = {
+        (r["id1"], r["id2"]): round(r["cosine"], 6)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                pair_cosine_expr(
+                    F.col("a.v"), F.col("b.v"),
+                    F.col("a.vn"), F.col("b.vn"), _fused_dim(dim),
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= thr)
+        ).collect()
+    }
+    assert set(got) == set(ref) and len(got) >= 8
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
+    assert not any("zzz" in i1 or "zzz" in i2 for i1, i2 in got)
