@@ -398,7 +398,11 @@ def allpairs_threshold_gemm(
     cogroup task computes its full cosine block as row-chunked
     ``L @ R.T`` GEMMs. Each unordered pair is emitted at most once —
     from the shard of its id-larger member, by the `id1 < id2` mask —
-    so no distinct pass is needed. Exactness matches
+    so no distinct pass is needed. Per-task memory is O(n·d) for the
+    replicated left side (plus the ≤64MB cosine block): like the
+    crossJoin it replaces, this is the exact all-pairs BASELINE, for
+    modest n or post-LSH candidate sets — the scale path remains the
+    bucketed/grouped variant. Exactness matches
     _grouped_topk_gemm's contract: float64 dot/(|a||b|), 0.0 on zero
     norms (pair_cosine_expr's convention), ragged/non-finite rows
     excluded, string ids ordered by UTF-8 bytes (UTF8String order)."""
